@@ -1,0 +1,244 @@
+"""NAT DAG loss with glancing training (GLAT).
+
+Pure-function rebuild of ``DASpeech/criterions/nat_dag_loss.py`` (+ the GLAT
+``glat_function`` shared with ``s2s_dag_fastspeech2_loss.py:131-193``).
+
+The reference runs two identical-dropout forward passes (``torch_seed``);
+here both passes receive the same explicit dropout rng. The first (glancing)
+pass is wrapped in ``stop_gradient``/``lax.stop_gradient`` territory by
+simply not differentiating through it (``require_glance_grad`` is False in
+the recipe).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from daspeech_tpu.ops import (
+    dag_best_alignment,
+    dag_logsoftmax_gather,
+    dag_loss,
+    dag_loss_with_alpha_beta,
+)
+
+
+class GlatInfo(NamedTuple):
+    prev_output_tokens: jnp.ndarray      # [B, L] glanced decoder input
+    matchmask: Optional[jnp.ndarray]     # [B, T, L] bool
+    keep_word_mask: Optional[jnp.ndarray]  # [B, L] bool
+    glat_accu: jnp.ndarray               # scalar
+    glat_keep: jnp.ndarray               # scalar
+
+
+def glat_glance(
+    rng: jax.Array,
+    logits: jnp.ndarray,          # [B, L, V] first-pass logits (stop-grad)
+    links: jnp.ndarray,           # [B, L, L] first-pass links (stop-grad)
+    tgt_tokens: jnp.ndarray,      # [B, T]
+    prev_output_tokens: jnp.ndarray,  # [B, L]
+    context_p: jnp.ndarray,       # scalar glancing prob
+    pad: int,
+    strategy: Optional[str] = "number-random",
+) -> GlatInfo:
+    """The ``glat_function`` (``nat_dag_loss.py:202-264``): Viterbi-align the
+    graph to the reference, count mispredictions, and replace a subset of
+    graph vertices with oracle target tokens."""
+    logits = jax.lax.stop_gradient(logits)
+    links = jax.lax.stop_gradient(links)
+    B, L, _ = logits.shape
+    T = tgt_tokens.shape[1]
+
+    nonpad = tgt_tokens != pad
+    target_length = jnp.sum(nonpad, axis=1)
+    output_length = jnp.sum(prev_output_tokens != pad, axis=1)
+
+    pred_tokens = jnp.argmax(logits, axis=-1)                      # [B, L]
+    match = dag_logsoftmax_gather(
+        logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+    match = jnp.swapaxes(match, 1, 2)                              # [B, T, L]
+    path = dag_best_alignment(match, links, output_length, target_length)
+
+    predict_align_mask = path >= 0                                 # [B, L]
+    # matchmask[b, t, j] = (path[b, j] == t)
+    matchmask = path[:, None, :] == jnp.arange(T)[None, :, None]
+    oracle = jnp.take_along_axis(
+        tgt_tokens, jnp.clip(path, 0, None), axis=1)               # [B, L]
+    same_num = jnp.sum(
+        (pred_tokens == oracle) & predict_align_mask, axis=1)      # [B]
+
+    k_rand, k_keep = jax.random.split(rng)
+    if strategy is None or strategy == "none":
+        keep_prob = ((target_length - same_num) / jnp.maximum(target_length, 1)
+                     * context_p)[:, None] * predict_align_mask.astype(
+                         jnp.float32)
+    elif strategy in ("number-random", "cmlm"):
+        prob = jax.random.normal(k_rand, (B, L), dtype=jnp.float32)
+        prob = jnp.where(predict_align_mask, prob, -100.0)
+        if strategy == "number-random":
+            glance_nums = ((target_length - same_num) * context_p + 0.5
+                           ).astype(jnp.int32)
+        else:  # cmlm: random fraction of the target length
+            frac = jax.random.uniform(k_rand, (B,), dtype=jnp.float32)
+            glance_nums = (target_length * frac + 0.5).astype(jnp.int32)
+        sorted_desc = -jnp.sort(-prob, axis=-1)
+        thresh = jnp.take_along_axis(
+            sorted_desc, jnp.clip(glance_nums - 1, 0, None)[:, None],
+            axis=1)[:, 0]
+        thresh = jnp.where(glance_nums == 0, 100.0, thresh)
+        keep_prob = (prob >= thresh[:, None]).astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown glance strategy {strategy!r}")
+
+    keep_word_mask = (
+        jax.random.uniform(k_keep, (B, L)) < keep_prob)
+    glat_prev = jnp.where(keep_word_mask, oracle, prev_output_tokens)
+
+    return GlatInfo(
+        prev_output_tokens=glat_prev,
+        matchmask=matchmask,
+        keep_word_mask=keep_word_mask,
+        glat_accu=jnp.sum(same_num) / jnp.maximum(jnp.sum(target_length), 1),
+        glat_keep=jnp.mean(keep_prob),
+    )
+
+
+def force_emit_match(
+    match_all: jnp.ndarray,               # [B, T, L]
+    matchmask: jnp.ndarray,               # [B, T, L]
+    keep_word_mask: jnp.ndarray,          # [B, L]
+    no_force_emit: bool = False,
+) -> jnp.ndarray:
+    """Pin glanced vertices to their aligned target position
+    (``nat_dag_loss.py:130-132``); the forced columns are stop-gradient."""
+    if no_force_emit:
+        return match_all
+    forced = jax.lax.stop_gradient(
+        jnp.where(matchmask, match_all, -jnp.inf))
+    keep = keep_word_mask[:, None, :]
+    return jnp.where(keep, forced, match_all)
+
+
+def compute_dag_loss(
+    logits: jnp.ndarray,                  # [B, L, V]
+    links: jnp.ndarray,                   # [B, L, L]
+    tgt_tokens: jnp.ndarray,              # [B, T]
+    prev_output_tokens: jnp.ndarray,      # [B, L]
+    pad: int,
+    matchmask: Optional[jnp.ndarray] = None,
+    keep_word_mask: Optional[jnp.ndarray] = None,
+    no_force_emit: bool = False,
+    with_alpha_beta: bool = False,
+):
+    """``_compute_dag_loss`` (``nat_dag_loss.py:116-162``): returns
+    (loss, metrics[, alpha, beta]). Non-finite sentences (unsatisfiable
+    graphs) are masked out of the mean instead of crashing."""
+    B, L, V = logits.shape
+    T = tgt_tokens.shape[1]
+    output_length = jnp.sum(prev_output_tokens != pad, axis=1)
+    target_length = jnp.sum(tgt_tokens != pad, axis=1)
+
+    match = dag_logsoftmax_gather(
+        logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+    match_all = jnp.swapaxes(match, 1, 2)                          # [B, T, L]
+    if matchmask is not None:
+        match_all = force_emit_match(
+            match_all, matchmask, keep_word_mask, no_force_emit)
+
+    if with_alpha_beta:
+        logprob, alpha, beta = dag_loss_with_alpha_beta(
+            match_all, links, output_length, target_length)
+    else:
+        logprob = dag_loss(match_all, links, output_length, target_length)
+        alpha = beta = None
+
+    invalid = ~jnp.isfinite(logprob)
+    safe_logprob = jnp.where(invalid, 0.0, logprob)
+    per_sent = safe_logprob / jnp.maximum(target_length, 1)
+    loss = -jnp.mean(per_sent)
+
+    metrics = {
+        "dag-loss": loss,
+        "invalid_nsentences": jnp.sum(invalid.astype(jnp.int32)),
+        "nsentences": jnp.asarray(B, jnp.int32),
+        "ntokens": jnp.sum(target_length),
+        "nvalidtokens": jnp.sum(output_length),
+    }
+    if with_alpha_beta:
+        return loss, metrics, alpha, beta
+    return loss, metrics
+
+
+def nat_dag_loss(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    glat_p: jnp.ndarray,
+    vocab,
+    glance_strategy: Optional[str] = "number-random",
+    no_force_emit: bool = False,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Criterion forward (``NATDAGLoss.forward``, ``nat_dag_loss.py:164-314``).
+
+    batch keys: fbank [B,S,80], src_lengths [B], target [B,T],
+    prev_output_tokens [B,L] (built host-side from lambda * src_len so the
+    graph width L is a static bucket dim).
+    """
+    fbank, src_lengths = batch["fbank"], batch["src_lengths"]
+    tgt_tokens = batch["target"]
+    prev_output_tokens = batch["prev_output_tokens"]
+
+    k_dropout, k_glat = jax.random.split(rng)
+    rngs = {"dropout": k_dropout}
+
+    enc_vars = {"params": params["params"]}
+    if "batch_stats" in params:
+        enc_vars["batch_stats"] = params["batch_stats"]
+
+    def forward(prev):
+        out = model.apply(
+            enc_vars, fbank, src_lengths, prev, train=train,
+            rngs=rngs, mutable=["batch_stats"] if train else [])
+        if train:
+            (logits, links, feats), updates = out
+        else:
+            logits, links, feats = out
+            updates = {}
+        return logits, links, feats, updates
+
+    glat_info = None
+    use_glat = glance_strategy is not None
+
+    def run_glat():
+        logits1, links1, _, _ = forward(prev_output_tokens)
+        return glat_glance(
+            k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
+            glat_p, vocab.pad, glance_strategy)
+
+    # glat_p is a traced scalar; the reference skips GLAT only when p == 0,
+    # which we keep data-independent by always glancing and letting
+    # keep_prob -> 0 as p -> 0 (identical expectation, jit-stable shape).
+    if use_glat:
+        glat_info = run_glat()
+        prev2 = glat_info.prev_output_tokens
+        matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
+    else:
+        prev2 = prev_output_tokens
+        matchmask = keep_mask = None
+
+    logits, links, feats, updates = forward(prev2)
+    loss, metrics = compute_dag_loss(
+        logits, links, tgt_tokens, prev2, vocab.pad,
+        matchmask=matchmask, keep_word_mask=keep_mask,
+        no_force_emit=no_force_emit)
+
+    metrics["loss"] = loss
+    if glat_info is not None:
+        metrics["glat_accu"] = glat_info.glat_accu
+        metrics["glat_keep"] = glat_info.glat_keep
+    aux = {"metrics": metrics, "batch_stats": updates.get("batch_stats")}
+    return loss, aux

@@ -1,0 +1,27 @@
+from daspeech_tpu.models.conformer import ConformerEncoder
+from daspeech_tpu.models.dag_model import (
+    GlatLinkDecoder,
+    S2TConformerDAG,
+    graph_lengths,
+    initialize_output_tokens,
+)
+from daspeech_tpu.models.fastspeech2 import (
+    FastSpeech2Encoder,
+    FFNAdapter,
+    length_regulate,
+)
+from daspeech_tpu.models.hifigan import HiFiGANGenerator
+from daspeech_tpu.models.s2s_model import S2SConformerDAGFastSpeech2
+
+__all__ = [
+    "S2SConformerDAGFastSpeech2",
+    "ConformerEncoder",
+    "GlatLinkDecoder",
+    "S2TConformerDAG",
+    "graph_lengths",
+    "initialize_output_tokens",
+    "FastSpeech2Encoder",
+    "FFNAdapter",
+    "length_regulate",
+    "HiFiGANGenerator",
+]

@@ -1,0 +1,216 @@
+"""Shared flax.linen building blocks.
+
+Batch-first ``[B, T, C]`` layouts throughout (the reference shuffles between
+TBC/BTC for torch kernels; on TPU a single layout lets XLA fuse freely).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS: dict = {
+    "relu": jax.nn.relu,
+    "gelu": gelu,
+    "swish": jax.nn.silu,
+    "silu": jax.nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def make_positions(tokens: jnp.ndarray, padding_idx: int) -> jnp.ndarray:
+    """fairseq ``utils.make_positions``: position numbering starts at
+    ``padding_idx + 1``; pads keep ``padding_idx``."""
+    mask = (tokens != padding_idx).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+class LearnedPositionalEmbedding(nn.Module):
+    """fairseq learned positional embedding (offset by padding_idx + 1)."""
+
+    max_positions: int
+    dim: int
+    padding_idx: int = 1
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        positions = make_positions(tokens, self.padding_idx)
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=self.dim ** -0.5),
+            (self.max_positions + self.padding_idx + 1, self.dim),
+        )
+        return jnp.take(table, positions, axis=0)
+
+
+def sinusoidal_embedding_table(
+    num_positions: int, dim: int, padding_idx: Optional[int] = 1
+) -> jnp.ndarray:
+    """fairseq ``SinusoidalPositionalEmbedding.get_embedding``."""
+    half_dim = dim // 2
+    emb = math.log(10000) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim) * -emb)
+    emb = jnp.arange(num_positions)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if dim % 2 == 1:
+        emb = jnp.concatenate([emb, jnp.zeros((num_positions, 1))], axis=1)
+    if padding_idx is not None:
+        emb = emb.at[padding_idx].set(0)
+    return emb
+
+
+class SinusoidalPositionalEmbedding(nn.Module):
+    max_positions: int
+    dim: int
+    padding_idx: int = 1
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        positions = make_positions(tokens, self.padding_idx)
+        table = sinusoidal_embedding_table(
+            self.max_positions + self.padding_idx + 1, self.dim, self.padding_idx)
+        return jnp.take(table, positions, axis=0)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with optional key-padding mask (True = pad).
+
+    Equivalent to ``fairseq.modules.multihead_attention.MultiheadAttention``
+    restricted to the self/cross-attention paths the DASpeech stack uses.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,                 # [B, Tq, C]
+        key: jnp.ndarray,                   # [B, Tk, C]
+        value: jnp.ndarray,                 # [B, Tk, C]
+        key_padding_mask: Optional[jnp.ndarray] = None,  # [B, Tk] True=pad
+        train: bool = False,
+    ) -> jnp.ndarray:
+        d_head = self.embed_dim // self.num_heads
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+        q = dense("q_proj")(query) * (d_head ** -0.5)
+        k = dense("k_proj")(key)
+        v = dense("v_proj")(value)
+
+        def split(x):
+            B, T, _ = x.shape
+            return x.reshape(B, T, self.num_heads, d_head)
+
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if key_padding_mask is not None:
+            # rows whose keys are ALL padding (e.g. zero-duration samples)
+            # would softmax to NaN; attend uniformly instead — downstream
+            # padding masks discard these rows anyway.
+            all_masked = jnp.all(key_padding_mask, axis=-1)
+            kpm = key_padding_mask & ~all_masked[:, None]
+            scores = jnp.where(kpm[:, None, None, :], -jnp.inf, scores)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(query.shape[0], query.shape[1], self.embed_dim)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerFFN(nn.Module):
+    ffn_dim: int
+    embed_dim: int
+    activation: str = "relu"
+    dropout: float = 0.0
+    activation_dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        x = ACTIVATIONS[self.activation](x)
+        x = nn.Dropout(self.activation_dropout, deterministic=not train)(x)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-norm transformer decoder layer with *non-causal* self-attention,
+    as used by the NAT decoder (``fairseq/fairseq/models/nat/
+    nonautoregressive_transformer.py:247-329``: ``self_attn_mask=None``)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    activation: str = "gelu"
+    normalize_before: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                           # [B, L, C]
+        self_pad_mask: Optional[jnp.ndarray],     # [B, L] True=pad
+        enc_out: Optional[jnp.ndarray],           # [B, S, C]
+        enc_pad_mask: Optional[jnp.ndarray],      # [B, S] True=pad
+        train: bool = False,
+    ) -> jnp.ndarray:
+        drop = lambda y: nn.Dropout(self.dropout, deterministic=not train)(y)
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+
+        residual = x
+        if self.normalize_before:
+            x = ln("self_attn_layer_norm")(x)
+        x = MultiHeadAttention(
+            self.embed_dim, self.num_heads, self.attention_dropout,
+            dtype=self.dtype, name="self_attn",
+        )(x, x, x, key_padding_mask=self_pad_mask, train=train)
+        x = residual + drop(x)
+        if not self.normalize_before:
+            x = ln("self_attn_layer_norm")(x)
+
+        if enc_out is not None:
+            residual = x
+            if self.normalize_before:
+                x = ln("encoder_attn_layer_norm")(x)
+            x = MultiHeadAttention(
+                self.embed_dim, self.num_heads, self.attention_dropout,
+                dtype=self.dtype, name="encoder_attn",
+            )(x, enc_out, enc_out, key_padding_mask=enc_pad_mask, train=train)
+            x = residual + drop(x)
+            if not self.normalize_before:
+                x = ln("encoder_attn_layer_norm")(x)
+
+        residual = x
+        if self.normalize_before:
+            x = ln("final_layer_norm")(x)
+        x = TransformerFFN(
+            self.ffn_dim, self.embed_dim, self.activation,
+            self.dropout, self.activation_dropout, dtype=self.dtype, name="ffn",
+        )(x, train=train)
+        x = residual + x
+        if not self.normalize_before:
+            x = ln("final_layer_norm")(x)
+        return x
+
+
+def lengths_to_padding_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """[B] -> [B, max_len] bool, True = pad."""
+    return jnp.arange(max_len)[None, :] >= lengths[:, None]

@@ -1,0 +1,182 @@
+"""DAG decoding tests: the jitted batched scans vs Python-loop oracles that
+replay the reference algorithms (``s2t_conformer_dag.py:319-395``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from daspeech_tpu.decode import (
+    gather_path_features,
+    greedy_or_lookahead_decode,
+    viterbi_decode,
+)
+
+PAD = 1
+
+
+def make_problem(rng, B=3, L=10, V=12):
+    output_length = rng.integers(4, L + 1, size=B)
+    output_length[0] = L
+    logits = rng.normal(size=(B, L, V)).astype(np.float32) * 2
+    links = rng.normal(size=(B, L, L)).astype(np.float32)
+    mask = np.triu(np.ones((L, L), dtype=bool), 1)[None].repeat(B, 0)
+    for b in range(B):
+        mask[b, :, output_length[b]:] = False
+        mask[b, output_length[b]:, :] = False
+    links = np.where(mask, links, -np.inf)
+    # normalize rows (log softmax over valid successors)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        m = np.where(mask.any(-1, keepdims=True),
+                     np.max(np.where(mask, links, -np.inf), -1, keepdims=True), 0)
+        z = np.log(np.sum(np.exp(np.where(mask, links - m, -np.inf)),
+                          -1, keepdims=True)) + m
+        links = np.where(mask, links - z, -np.inf)
+    return logits, links, output_length
+
+
+def oracle_lookahead(logits, links, output_length, beta, lookahead=True):
+    """Literal replay of the reference loop."""
+    B, L, V = logits.shape
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)
+                                  ).sum(-1, keepdims=True)) - logits.max(
+                                      -1, keepdims=True) * 0
+    # plain log softmax
+    logp = logits - logits.max(-1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    unreduced_logits = logp.max(-1)
+    unreduced_tokens = logp.argmax(-1)
+    if lookahead:
+        with np.errstate(invalid="ignore"):
+            links_idx = np.nanargmax(
+                np.where(np.isfinite(links), links, -1e30)
+                + beta * unreduced_logits[:, None, :], axis=-1)
+    else:
+        links_idx = np.where(np.isfinite(links), links, -1e30).argmax(-1)
+    out_tokens, out_feats = [], []
+    for b in range(B):
+        last = unreduced_tokens[b, 0]
+        j = 0
+        res = [last]
+        feats = []
+        while j != output_length[b] - 1:
+            j = links_idx[b, j]
+            tok = unreduced_tokens[b, j]
+            if tok != PAD and tok != last:
+                res.append(tok)
+                feats.append(j)
+            last = tok
+        out_tokens.append(res)
+        out_feats.append(feats)
+    return out_tokens, out_feats
+
+
+class TestLookahead:
+    @pytest.mark.parametrize("lookahead", [True, False])
+    def test_matches_oracle(self, lookahead):
+        rng = np.random.default_rng(0)
+        logits, links, ol = make_problem(rng)
+        want_toks, want_feats = oracle_lookahead(logits, links, ol, 1.0,
+                                                 lookahead)
+        res = greedy_or_lookahead_decode(
+            jnp.asarray(logits), jnp.asarray(links),
+            jnp.asarray(ol, dtype=jnp.int32), PAD, 1.0, lookahead)
+        for b in range(len(want_toks)):
+            n = int(res.lengths[b])
+            assert n == len(want_toks[b]), b
+            np.testing.assert_array_equal(
+                np.asarray(res.tokens)[b, :n], want_toks[b])
+            assert int(res.feat_lengths[b]) == len(want_feats[b])
+            # feature vertices recorded in slots 1..n-1
+            np.testing.assert_array_equal(
+                np.asarray(res.feat_idx)[b, 1:n], want_feats[b])
+            assert (np.asarray(res.tokens)[b, n:] == PAD).all()
+
+    def test_gather_path_features(self):
+        rng = np.random.default_rng(1)
+        logits, links, ol = make_problem(rng)
+        B, L, _ = logits.shape
+        feats = jnp.asarray(rng.normal(size=(B, L, 4)).astype(np.float32))
+        res = greedy_or_lookahead_decode(
+            jnp.asarray(logits), jnp.asarray(links),
+            jnp.asarray(ol, dtype=jnp.int32), PAD, 1.0, True)
+        g, mask = gather_path_features(feats, res, skip_first=True)
+        for b in range(B):
+            n = int(res.feat_lengths[b])
+            assert (~np.asarray(mask)[b, :n]).all()
+            assert np.asarray(mask)[b, n:].all()
+            for s in range(n):
+                v = int(np.asarray(res.feat_idx)[b, s + 1])
+                np.testing.assert_array_equal(
+                    np.asarray(g)[b, s], np.asarray(feats)[b, v])
+
+
+def oracle_viterbi(logits, links, output_length, beta, vbeta, joint,
+                   max_length):
+    """Literal replay of the reference tensorized viterbi + backtrace."""
+    B, L, V = logits.shape
+    logp = logits - logits.max(-1, keepdims=True)
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    unred_logit = logp.max(-1)
+    unred_tok = logp.argmax(-1)
+    lk = np.where(np.isfinite(links), links, -1e9)
+    scores, indexs = [], []
+    alpha_t = lk[:, 0].copy()
+    if joint:
+        alpha_t += unred_logit[:, 0:1] * beta
+    alpha_t += unred_logit * beta
+    scores.append(alpha_t.copy())
+    for i in range(max_length - 1):
+        nxt = (alpha_t[:, :, None] + lk).max(axis=1)
+        idx = (alpha_t[:, :, None] + lk).argmax(axis=1)
+        if joint:
+            nxt = nxt + unred_logit * beta
+        alpha_t = nxt
+        scores.append(alpha_t.copy())
+        indexs.append(idx)
+    scores = np.stack(scores)                       # [S, B, L]
+    link_last = np.stack([lk[b, :, output_length[b] - 1] for b in range(B)])
+    scores = scores + link_last[None]
+    smax = scores.max(-1)
+    sarg = scores.argmax(-1)
+    penalty = (np.arange(max_length) + 1.0)[:, None] ** vbeta
+    pred_len = (smax / penalty).argmax(0) + 1
+    out_tokens, out_feats = [], []
+    for b in range(B):
+        length = pred_len[b]
+        j = sarg[length - 1, b]
+        last = unred_tok[b, j]
+        res = [last]
+        feats = [j]
+        for k in range(length - 1):
+            j = indexs[length - k - 2][b, j]
+            tok = unred_tok[b, j]
+            if tok != PAD and tok != last:
+                res.insert(0, tok)
+                feats.insert(0, j)
+            last = tok
+        out_tokens.append(res)
+        out_feats.append(feats)
+    return out_tokens, out_feats
+
+
+class TestViterbi:
+    @pytest.mark.parametrize("joint", [True, False])
+    def test_matches_oracle(self, joint):
+        rng = np.random.default_rng(2)
+        logits, links, ol = make_problem(rng, B=4, L=12, V=9)
+        max_length = 6
+        want_toks, want_feats = oracle_viterbi(
+            logits, links, ol, 1.0, 1.0, joint, max_length)
+        res = viterbi_decode(
+            jnp.asarray(logits), jnp.asarray(links),
+            jnp.asarray(ol, dtype=jnp.int32), PAD,
+            decode_beta=1.0, viterbibeta=1.0, joint=joint,
+            max_length=max_length)
+        for b in range(len(want_toks)):
+            n = int(res.lengths[b])
+            assert n == len(want_toks[b]), (b, n, want_toks[b])
+            np.testing.assert_array_equal(
+                np.asarray(res.tokens)[b, :n], want_toks[b])
+            np.testing.assert_array_equal(
+                np.asarray(res.feat_idx)[b, :n], want_feats[b])

@@ -1,0 +1,126 @@
+"""Loss + training-step integration tests on tiny synthetic data, including
+the 8-virtual-device data-parallel path (the reference cannot test its
+distributed path without GPUs — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from utils import fast_init
+
+from daspeech_tpu.core.config import VocabConfig
+from daspeech_tpu.losses import nat_dag_loss
+from daspeech_tpu.models import (
+    S2TConformerDAG,
+    graph_lengths,
+    initialize_output_tokens,
+)
+from daspeech_tpu.train import (
+    TrainState,
+    anneal_value,
+    inverse_sqrt_schedule,
+    jit_data_parallel,
+    make_optimizer,
+    make_train_step,
+    parse_anneal,
+)
+from test_models import tiny_dag_cfg
+
+
+def make_batch(rng, cfg, B=2, S=33, L=16, T=6):
+    fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))
+    src_lengths = jnp.asarray([S] * B, dtype=jnp.int32)
+    glen = graph_lengths(src_lengths, 0.5, 64)
+    prev = initialize_output_tokens(glen, L, cfg.vocab)
+    tgt = jnp.asarray(
+        rng.integers(4, cfg.vocab.size, size=(B, T)), dtype=jnp.int32)
+    tgt = tgt.at[:, 0].set(cfg.vocab.bos).at[:, T - 1].set(cfg.vocab.eos)
+    return {
+        "fbank": fbank,
+        "src_lengths": src_lengths,
+        "target": tgt,
+        "prev_output_tokens": prev,
+    }
+
+
+class TestSchedules:
+    def test_inverse_sqrt(self):
+        s = inverse_sqrt_schedule(5e-4, 100, 1e-7)
+        assert float(s(1)) < float(s(50)) < float(s(100))
+        assert float(s(100)) == pytest.approx(5e-4, rel=1e-5)
+        assert float(s(400)) == pytest.approx(5e-4 * 0.5, rel=1e-5)
+
+    def test_anneal_parse(self):
+        p = parse_anneal("0.5:0.1@100k")
+        assert p == (0.5, 0.1, 100000)
+        assert float(anneal_value(p, 0)) == pytest.approx(0.5)
+        assert float(anneal_value(p, 50000)) == pytest.approx(0.3)
+        assert float(anneal_value(p, 200000)) == pytest.approx(0.1)
+        assert float(anneal_value(parse_anneal("0"), 123)) == 0.0
+
+
+class TestNatDagLoss:
+    def test_loss_and_grads_finite(self):
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng, cfg)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+
+        def lossf(params):
+            loss, aux = nat_dag_loss(
+                model, {"params": params,
+                        "batch_stats": variables.get("batch_stats", {})},
+                batch, jax.random.key(1), jnp.asarray(0.5), cfg.vocab)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(lossf, has_aux=True)(
+            variables["params"])
+        assert np.isfinite(float(loss))
+        flat = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        # some gradient must reach the encoder and the link predictor
+        gsum = sum(float(jnp.abs(g).sum()) for g in flat)
+        assert gsum > 0
+        m = aux["metrics"]
+        assert 0 <= float(m["glat_accu"]) <= 1
+        assert int(m["invalid_nsentences"]) == 0
+
+    def test_train_step_data_parallel(self):
+        """Full pjit DP train step on the 8-device CPU mesh."""
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devices, ("data",))
+
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(1)
+        batch = make_batch(rng, cfg, B=8)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        tx = make_optimizer(lr=1e-3, warmup_updates=10, clip_norm=1.0)
+        state = TrainState.create(variables, tx)
+
+        def loss_fn(params_dict, b, key, step):
+            glat_p = anneal_value(parse_anneal("0.5:0.1@100k"), step)
+            return nat_dag_loss(model, params_dict, b, key, glat_p, cfg.vocab)
+
+        step_fn = jit_data_parallel(
+            make_train_step(loss_fn, tx), mesh)
+        key = jax.random.key(7)
+        params0 = jax.tree.map(np.asarray, state.params)  # state is donated
+        state1, metrics1 = step_fn(state, batch, key)
+        state2, metrics2 = step_fn(state1, batch, key)
+        assert int(state2.step) == 2
+        assert np.isfinite(float(metrics1["loss"]))
+        assert np.isfinite(float(metrics2["loss"]))
+        assert float(metrics1["gnorm"]) > 0
+        # params actually moved
+        delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree.leaves(params0), jax.tree.leaves(state2.params)))
+        assert delta > 0
