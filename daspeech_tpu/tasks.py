@@ -1,0 +1,161 @@
+"""Tasks: dataset/vocab setup, noise injection, train/valid glue, generator
+construction.
+
+Rebuild of ``DASpeech/tasks/nat_speech_to_text.py`` and
+``nat_speech_to_speech.py`` on top of the functional train/decode modules.
+A task owns the host-side state (dictionary, datasets, bucket specs) while
+all device computation lives in jitted pure functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from daspeech_tpu.core.config import (
+    DAGModelConfig,
+    DecodeConfig,
+    S2SModelConfig,
+    TrainingConfig,
+    VocabConfig,
+)
+from daspeech_tpu.core.registry import register_task
+from daspeech_tpu.data import (
+    BucketBatcher,
+    Dictionary,
+    NATSpeechToSpeechDataset,
+    NATSpeechToTextDataset,
+    load_tsv,
+    make_buckets,
+)
+from daspeech_tpu.decode.generator import S2SNATGenerator, S2TNATGenerator
+
+
+def inject_noise(
+    rng: np.random.Generator,
+    target: np.ndarray,          # [B, T] padded targets
+    vocab: VocabConfig,
+    noise: str = "full_mask",
+) -> np.ndarray:
+    """``inject_noise`` (``nat_speech_to_text.py:138-219``): build the
+    corrupted ``prev_target`` for CMLM-style NAT models. The DAG criterion
+    builds its own graph input, but the task keeps the full noise API.
+    """
+    t = target.copy()
+    special = (t == vocab.pad) | (t == vocab.bos) | (t == vocab.eos)
+
+    if noise == "full_mask":
+        t = np.where(special, t, vocab.unk)
+    elif noise == "random_mask":
+        u = rng.uniform(size=t.shape)
+        ratio = rng.uniform(size=(t.shape[0], 1))
+        t = np.where(~special & (u < ratio), vocab.unk, t)
+    elif noise == "random_delete":
+        out = np.full_like(t, vocab.pad)
+        for b in range(t.shape[0]):
+            toks = t[b][t[b] != vocab.pad]
+            inner = toks[1:-1]
+            keep = rng.uniform(size=len(inner)) >= rng.uniform()
+            kept = np.concatenate([toks[:1], inner[keep], toks[-1:]])
+            out[b, : len(kept)] = kept
+        t = out
+    elif noise == "no_noise":
+        pass
+    else:
+        raise ValueError(f"unknown noise {noise!r}")
+    return t
+
+
+@dataclasses.dataclass
+class TaskConfig:
+    data_dir: str = ""
+    vocab_filename: str = "vocab.txt"
+    noise: str = "full_mask"
+    max_source_positions: int = 6000
+    max_target_positions: int = 1024
+    max_target_audio_positions: int = 1200
+    max_tokens: int = 40000
+    num_buckets: int = 8
+
+
+class NATSpeechToTextTask:
+    """``nat_speech_to_text`` (``DASpeech/tasks/nat_speech_to_text.py``)."""
+
+    dataset_cls = NATSpeechToTextDataset
+    for_s2s = False
+
+    def __init__(self, cfg: TaskConfig, tgt_dict: Dictionary):
+        self.cfg = cfg
+        self.tgt_dict = tgt_dict
+        self.datasets: Dict[str, Any] = {}
+
+    @classmethod
+    def setup_task(cls, cfg: TaskConfig) -> "NATSpeechToTextTask":
+        vocab_path = Path(cfg.data_dir) / cfg.vocab_filename
+        tgt_dict = Dictionary.load(vocab_path)
+        return cls(cfg, tgt_dict)
+
+    @property
+    def vocab(self) -> VocabConfig:
+        d = self.tgt_dict
+        return VocabConfig(size=len(d), bos=d.bos(), pad=d.pad(),
+                           eos=d.eos(), unk=d.unk())
+
+    def load_dataset(self, split: str, transforms=None,
+                     upsample_scale: float = 0.5):
+        rows = load_tsv(Path(self.cfg.data_dir) / f"{split}.tsv")
+        self.datasets[split] = self.dataset_cls(
+            rows, self.tgt_dict, transforms=transforms,
+            upsample_scale=upsample_scale)
+        return self.datasets[split]
+
+    def get_batch_iterator(self, split: str, max_tokens: Optional[int] = None,
+                           seed: int = 1, upsample_scale: float = 0.5,
+                           num_buckets: Optional[int] = None):
+        ds = self.datasets[split]
+        keep = ds.filter_indices(self.cfg.max_source_positions,
+                                 self.cfg.max_target_positions)
+        lengths = [ds.n_frames(i) for i in keep]
+        tgt_cap = min(self.cfg.max_target_positions,
+                      max(ds.tgt_len(i) for i in keep) if keep else 8)
+        specs = make_buckets(
+            lengths, max_tokens or self.cfg.max_tokens,
+            num_buckets=num_buckets or self.cfg.num_buckets,
+            upsample_scale=upsample_scale, tgt_cap=tgt_cap,
+            mel_per_src=(1.0 if self.for_s2s else 0.0))
+        return BucketBatcher(ds, keep, specs, seed=seed, vocab=self.vocab,
+                             upsample_scale=upsample_scale,
+                             max_graph=self.cfg.max_target_positions,
+                             for_s2s=self.for_s2s)
+
+    def build_generator(self, model, decode_cfg: DecodeConfig):
+        return S2TNATGenerator(model, self.vocab, decode_cfg)
+
+    def inject_noise(self, rng, target):
+        return inject_noise(rng, target, self.vocab, self.cfg.noise)
+
+
+class NATSpeechToSpeechTask(NATSpeechToTextTask):
+    """``nat_speech_to_speech`` (``DASpeech/tasks/nat_speech_to_speech.py``);
+    S2S dataset rows add mel/duration/pitch/energy, size checks use the
+    3-tuple (src, tgt, tgt_audio) max positions (``:279-280``)."""
+
+    dataset_cls = NATSpeechToSpeechDataset
+    for_s2s = True
+
+    def build_generator(self, model, decode_cfg: DecodeConfig,
+                        max_mel_len: int = 1024, vocoder=None,
+                        vocoder_params=None, gcmvn=None):
+        return S2SNATGenerator(
+            model, self.vocab, decode_cfg, max_mel_len=max_mel_len,
+            vocoder=vocoder, vocoder_params=vocoder_params, gcmvn=gcmvn)
+
+
+register_task("nat_speech_to_text")(NATSpeechToTextTask)
+register_task("nat_speech_to_speech")(NATSpeechToSpeechTask)

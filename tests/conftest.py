@@ -11,8 +11,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
-# Persist compiled executables across test sessions (single-core CPU host;
-# XLA compiles of scan-heavy graphs dominate wall time otherwise).
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: the persistent compilation cache is intentionally NOT enabled here —
+# XLA:CPU AOT entries on this host record `prefer-no-gather/scatter` compile
+# "machine features" that never match at load time, so the cache only adds
+# recompiles plus a page of cpu_aot_loader error spam per test session.

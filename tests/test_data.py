@@ -1,0 +1,189 @@
+"""Data pipeline tests: zip-npy path grammar, dictionary round-trip, CMVN /
+SpecAugment, bucketed collation (the fixture factory mirrors
+``fairseq/tests/utils.py``'s create_dummy_data)."""
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from daspeech_tpu.core.config import VocabConfig
+from daspeech_tpu.data import (
+    BucketBatcher,
+    Dictionary,
+    NATSpeechToSpeechDataset,
+    NATSpeechToTextDataset,
+    SpecAugment,
+    UtteranceCMVN,
+    get_features_or_waveform,
+    load_tsv,
+    make_buckets,
+    parse_path,
+)
+
+
+def make_feature_zip(tmp_path: Path, n: int, rng, dim=80):
+    """Pack n random feature matrices into a zip (stored, not deflated) and
+    return 'zip:offset:length' paths — the reference's packed-audio layout."""
+    zip_path = tmp_path / "feats.zip"
+    feats = []
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(n):
+            T = int(rng.integers(20, 60))
+            f = rng.normal(size=(T, dim)).astype(np.float32)
+            feats.append(f)
+            import io
+            buf = io.BytesIO()
+            np.save(buf, f)
+            zf.writestr(f"utt{i}.npy", buf.getvalue())
+    paths = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for i, info in enumerate(zf.infolist()):
+            offset = info.header_offset + len(info.FileHeader())
+            paths.append(f"{zip_path}:{offset}:{info.file_size}")
+    return paths, feats
+
+
+def make_dataset(tmp_path, rng, n=12, s2s=False):
+    d = Dictionary()
+    for ph in ["AA", "AE", "IH", "K", "T", "S"]:
+        d.add_symbol(ph)
+    paths, feats = make_feature_zip(tmp_path, n, rng)
+    mel_paths = mels = None
+    if s2s:
+        mel_dir = tmp_path / "mel"
+        mel_dir.mkdir(exist_ok=True)
+        mel_paths, mels = make_feature_zip(mel_dir, n, rng)
+    rows = []
+    for i in range(n):
+        n_words = int(rng.integers(2, 6))
+        words = [d.symbols[4 + int(rng.integers(0, 6))] for _ in range(n_words)]
+        row = {
+            "id": f"utt{i}",
+            "audio": paths[i],
+            "n_frames": str(len(feats[i])),
+            "tgt_text": " ".join(words),
+        }
+        if s2s:
+            row["src_audio"] = row.pop("audio")
+            row["src_n_frames"] = row.pop("n_frames")
+            row["tgt_audio"] = mel_paths[i]
+            row["tgt_n_frames"] = str(len(mels[i]))
+            row["duration"] = " ".join(
+                [str(int(rng.integers(1, 5))) for _ in range(n_words + 1)] )
+            row["pitch"] = " ".join(
+                [f"{rng.uniform(0, 300):.1f}" for _ in range(n_words + 1)])
+            row["energy"] = " ".join(
+                [f"{rng.uniform(0, 50):.1f}" for _ in range(n_words + 1)])
+        rows.append(row)
+    return d, rows, feats
+
+
+class TestAudioIO:
+    def test_zip_path_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        paths, feats = make_feature_zip(tmp_path, 3, rng)
+        for p, f in zip(paths, feats):
+            got = get_features_or_waveform(p)
+            np.testing.assert_array_equal(got, f)
+
+    def test_parse_path(self):
+        assert parse_path("/a/b.zip:100:2000") == ("/a/b.zip", 100, 2000)
+        assert parse_path("/a/b.npy") == ("/a/b.npy", 0, -1)
+
+
+class TestDictionary:
+    def test_roundtrip(self, tmp_path):
+        d = Dictionary()
+        for s in ["AA", "B", "C"]:
+            d.add_symbol(s)
+        ids = d.encode_line("AA C B", prepend_bos=True)
+        assert ids[0] == d.bos() and ids[-1] == d.eos()
+        assert d.string(ids) == "AA C B"
+        d.save(tmp_path / "dict.txt")
+        d2 = Dictionary.load(tmp_path / "dict.txt")
+        assert d2.indices == d.indices
+        assert d2.index("UNSEEN") == d2.unk()
+
+
+class TestTransforms:
+    def test_utterance_cmvn(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(3.0, 2.0, size=(50, 8)).astype(np.float32)
+        y = UtteranceCMVN()(x)
+        np.testing.assert_allclose(y.mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(y.std(0), 1, atol=1e-3)
+
+    def test_specaugment_masks(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(60, 20)).astype(np.float32)
+        y = SpecAugment(rng=np.random.default_rng(0))(x)
+        assert y.shape == x.shape
+        assert (y != x).any()  # something masked
+
+
+class TestDatasetsAndBatching:
+    def test_s2t_items_and_feasibility_filter(self, tmp_path):
+        rng = np.random.default_rng(3)
+        d, rows, feats = make_dataset(tmp_path, rng)
+        ds = NATSpeechToTextDataset(rows, d, upsample_scale=0.5)
+        item = ds[0]
+        assert item.target[0] == d.bos() and item.target[-1] == d.eos()
+        np.testing.assert_array_equal(item.fbank, feats[0])
+        keep = ds.filter_indices(max_source=1000, max_target=100)
+        for i in keep:
+            assert int(ds.n_frames(i) * 0.5) >= ds.tgt_len(i) + 2
+
+    def test_bucket_collation_shapes(self, tmp_path):
+        rng = np.random.default_rng(4)
+        d, rows, _ = make_dataset(tmp_path, rng)
+        ds = NATSpeechToTextDataset(rows, d)
+        vocab = VocabConfig(size=len(d))
+        specs = make_buckets([ds.n_frames(i) for i in range(len(ds))],
+                             max_tokens=256, num_buckets=2, src_mult=16,
+                             tgt_cap=16)
+        b = BucketBatcher(ds, range(len(ds)), specs, vocab=vocab)
+        seen = 0
+        for batch in b:
+            B, S, _ = batch["fbank"].shape
+            assert batch["prev_output_tokens"].shape[0] == B
+            assert batch["target"].shape == (B, 16)
+            assert (batch["src_lengths"] <= S).all()
+            # static shapes come from the bucket set
+            assert any(s.batch == B and s.src == S for s in specs)
+            seen += int(batch["sample_mask"].sum())
+        assert seen == len(ds)
+
+    def test_s2s_collation(self, tmp_path):
+        rng = np.random.default_rng(5)
+        d, rows, _ = make_dataset(tmp_path, rng, s2s=True)
+        ds = NATSpeechToSpeechDataset(rows, d)
+        vocab = VocabConfig(size=len(d))
+        specs = make_buckets([ds.n_frames(i) for i in range(len(ds))],
+                             max_tokens=256, num_buckets=2, src_mult=16,
+                             tgt_cap=16, mel_per_src=1.0, mel_mult=16)
+        b = BucketBatcher(ds, range(len(ds)), specs, vocab=vocab,
+                          for_s2s=True)
+        batch = next(iter(b))
+        assert "target_text" in batch and "target_audio" in batch
+        assert batch["durations"].shape[1] == 15      # tgt_cap - 1
+        assert batch["target_audio"].shape[2] == 80
+        assert (batch["target_audio_lengths"] <=
+                batch["target_audio"].shape[1]).all()
+
+    def test_epoch_shuffling_deterministic(self, tmp_path):
+        rng = np.random.default_rng(6)
+        d, rows, _ = make_dataset(tmp_path, rng)
+        ds = NATSpeechToTextDataset(rows, d)
+        vocab = VocabConfig(size=len(d))
+        specs = make_buckets([ds.n_frames(i) for i in range(len(ds))],
+                             max_tokens=256, num_buckets=2, src_mult=16)
+        b = BucketBatcher(ds, range(len(ds)), specs, seed=7, vocab=vocab)
+        e0a = b.batches_for_epoch(0)
+        e0b = b.batches_for_epoch(0)
+        e1 = b.batches_for_epoch(1)
+        assert [i for _, ix in e0a for i in ix] == [
+            i for _, ix in e0b for i in ix]
+        assert [i for _, ix in e0a for i in ix] != [
+            i for _, ix in e1 for i in ix]
