@@ -133,7 +133,9 @@ class HiFiGANGenerator(nn.Module):
                                 name=f"resblocks_{i * num_kernels + j}")(x)
                 xs = block if xs is None else xs + block
             x = xs / num_kernels
-        x = leaky_relu(x)
+        # the reference's final activation uses torch's default slope 0.01,
+        # not LRELU_SLOPE (``models.py:121``: plain F.leaky_relu(x))
+        x = jax.nn.leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), padding=[(3, 3)], dtype=self.dtype,
                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

@@ -62,6 +62,7 @@ def _alpha_scan(match_all: jnp.ndarray, exp_links: jnp.ndarray) -> jnp.ndarray:
         c = _finite_max(f)                      # [B, 1]
         p = jnp.exp(f - c)                      # [B, L], <= 1
         nxt = jnp.einsum("bi,bij->bj", p, exp_links,
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
         f_next = jnp.log(nxt) + c + match_t     # log(0) = -inf is fine
         return f_next, f_next
@@ -91,6 +92,7 @@ def _beta_scan(
         p = jnp.exp(b - c)                                # [B, L]
         # beta[t, j] = logsumexp_k(beta[t+1, k] + links[j, k]) + match[t, j]
         nxt = jnp.einsum("bk,bjk->bj", p, exp_links,
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
         propagated = jnp.log(nxt) + c + match_t
         is_last = (t == target_length - 1)[:, None]       # [B, 1]
@@ -141,6 +143,7 @@ def _dag_loss_bwd_grads(
     b_sh = jnp.exp(beta[:, 1:] + w - logZ)
     b_sh = jnp.where(jnp.isfinite(b_sh), b_sh, 0.0)
     S = jnp.einsum("bti,btj->bij", a_sh, b_sh,
+                   precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)     # [B, L, L]
     grad_links = S * jnp.exp(links) * g[:, None, None]
     grad_links = jnp.where(jnp.isfinite(grad_links), grad_links, 0.0)

@@ -1,0 +1,121 @@
+"""Checkpointing: orbax save/load with keep-N pruning, best-metric tracking,
+post-training parameter averaging, and component-wise loading.
+
+Rebuild of ``fairseq/fairseq/checkpoint_utils.py`` +
+``fairseq/scripts/average_checkpoints.py``: state includes model params,
+batch stats, optimizer state, step, and the data-iterator epoch — restored
+atomically by orbax instead of torch.save/load.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """save/load with keep-last-N and best-metric policies
+    (``CheckpointConfig``, ``fairseq/fairseq/dataclass/configs.py:643-781``)."""
+
+    def __init__(self, directory, keep_last: int = 5,
+                 maximize_best: bool = False):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.keep_last = keep_last
+        self.maximize_best = maximize_best
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, step: int) -> Path:
+        return self.dir / f"checkpoint_{step}"
+
+    def save(self, state, step: int, extra: Optional[Dict[str, Any]] = None,
+             metric: Optional[float] = None) -> Path:
+        path = self._path(step)
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path.resolve(), state)
+        self._ckptr.wait_until_finished()
+        meta = {"step": step, "metric": metric, **(extra or {})}
+        (self.dir / f"checkpoint_{step}.json").write_text(json.dumps(meta))
+        self._prune()
+        self._update_best(step, metric)
+        return path
+
+    def _prune(self):
+        steps = self.all_steps()
+        for s in steps[: max(0, len(steps) - self.keep_last)]:
+            if self._best_step() == s:
+                continue
+            shutil.rmtree(self._path(s), ignore_errors=True)
+            (self.dir / f"checkpoint_{s}.json").unlink(missing_ok=True)
+
+    def _update_best(self, step: int, metric: Optional[float]):
+        if metric is None:
+            return
+        best_file = self.dir / "best.json"
+        best = (json.loads(best_file.read_text())
+                if best_file.exists() else None)
+        better = (best is None or
+                  (metric > best["metric"] if self.maximize_best
+                   else metric < best["metric"]))
+        if better:
+            best_file.write_text(json.dumps({"step": step, "metric": metric}))
+
+    def _best_step(self) -> Optional[int]:
+        best_file = self.dir / "best.json"
+        if best_file.exists():
+            return json.loads(best_file.read_text())["step"]
+        return None
+
+    def all_steps(self) -> List[int]:
+        return sorted(
+            int(p.name.split("_")[1]) for p in self.dir.glob("checkpoint_*")
+            if p.is_dir())
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def restore(self, state_like, step: Optional[int] = None):
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        return self._ckptr.restore(self._path(step).resolve(), state_like)
+
+
+def average_checkpoints(manager: CheckpointManager, state_like,
+                        last_n: int = 5, max_step: Optional[int] = None):
+    """Average model params of the last-N checkpoints
+    (``fairseq/scripts/average_checkpoints.py:17-98``)."""
+    steps = [s for s in manager.all_steps()
+             if max_step is None or s <= max_step][-last_n:]
+    if not steps:
+        raise ValueError("no checkpoints to average")
+    acc = None
+    for s in steps:
+        st = manager.restore(state_like, step=s)
+        params = st.params if hasattr(st, "params") else st["params"]
+        if acc is None:
+            acc = jax.tree.map(lambda x: np.asarray(x, np.float64), params)
+        else:
+            acc = jax.tree.map(lambda a, x: a + np.asarray(x, np.float64),
+                               acc, params)
+    n = len(steps)
+    return jax.tree.map(lambda a: (a / n).astype(np.float32), acc)
+
+
+def load_pretrained_component(target_params: Dict, source_params: Dict,
+                              component: str) -> Dict:
+    """Copy a sub-tree (e.g. 'encoder', 'tts') from a source param tree into
+    the target (``checkpoint_utils.load_pretrained_component_from_model``)."""
+    out = dict(target_params)
+    if component not in source_params:
+        raise KeyError(f"{component!r} not in source checkpoint")
+    out[component] = source_params[component]
+    return out

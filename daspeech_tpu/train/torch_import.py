@@ -1,0 +1,164 @@
+"""Import PyTorch reference checkpoints into flax parameter trees.
+
+Needed for parity evaluation without full retraining (SURVEY.md §7 "hard
+parts" #6): HiFi-GAN (``hifi-gan/models.py``), FastSpeech2 and the
+Conformer-DAG models (fairseq ``.pt`` files with a ``model`` state dict).
+
+Conventions converted here:
+- weight_norm (g, v) pairs folded into plain weights (the reference itself
+  removes weight norm for inference, ``models.py:118-125``)
+- torch Conv1d  [out, in, k]      -> flax Conv kernel [k, in, out]
+- torch ConvTranspose1d [in,out,k]-> ConvTranspose1dTorch kernel [k, in, out]
+- torch Linear  [out, in]         -> flax Dense kernel [in, out]
+- torch Embedding [V, D]          -> flax Embed embedding [V, D]
+- torch LayerNorm weight/bias     -> flax scale/bias
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def fold_weight_norm(sd: Dict[str, Any], prefix: str) -> np.ndarray:
+    """w = g * v / ||v|| with the norm over all dims except 0
+    (torch ``weight_norm`` default dim=0)."""
+    g = _np(sd[f"{prefix}.weight_g"])
+    v = _np(sd[f"{prefix}.weight_v"])
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v ** 2).sum(axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def conv_w(w: np.ndarray) -> np.ndarray:
+    """torch Conv1d [out, in, k] -> flax [k, in, out]."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def convT_w(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose1d [in, out, k] -> [k, in, out]."""
+    return np.transpose(w, (2, 0, 1))
+
+
+def dense_w(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def import_hifigan(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """torch ``Generator.state_dict()`` -> params for
+    :class:`daspeech_tpu.models.hifigan.HiFiGANGenerator`."""
+    p: Dict[str, Any] = {}
+
+    def conv_entry(prefix):
+        return {"kernel": conv_w(fold_weight_norm(sd, prefix)),
+                "bias": _np(sd[f"{prefix}.bias"])}
+
+    p["conv_pre"] = conv_entry("conv_pre")
+    p["conv_post"] = conv_entry("conv_post")
+    for i in range(len(cfg.upsample_rates)):
+        p[f"ups_{i}"] = {
+            "kernel": convT_w(fold_weight_norm(sd, f"ups.{i}")),
+            "bias": _np(sd[f"ups.{i}.bias"]),
+        }
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    n_blocks = len(cfg.upsample_rates) * num_kernels
+    for n in range(n_blocks):
+        block: Dict[str, Any] = {}
+        if cfg.resblock == "1":
+            for j in range(len(cfg.resblock_dilation_sizes[n % num_kernels])):
+                block[f"convs1_{j}"] = conv_entry(f"resblocks.{n}.convs1.{j}")
+                block[f"convs2_{j}"] = conv_entry(f"resblocks.{n}.convs2.{j}")
+        else:
+            for j in range(len(cfg.resblock_dilation_sizes[n % num_kernels])):
+                block[f"convs_{j}"] = conv_entry(f"resblocks.{n}.convs.{j}")
+        p[f"resblocks_{n}"] = block
+    return {"params": p}
+
+
+def _mha(sd, prefix):
+    out = {}
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        out[name] = {
+            "kernel": dense_w(_np(sd[f"{prefix}.{name}.weight"])),
+            "bias": _np(sd[f"{prefix}.{name}.bias"]),
+        }
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _conv(sd, prefix):
+    return {"kernel": conv_w(_np(sd[f"{prefix}.weight"])),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _dense(sd, prefix, bias=True):
+    d = {"kernel": dense_w(_np(sd[f"{prefix}.weight"]))}
+    if bias and f"{prefix}.bias" in sd:
+        d["bias"] = _np(sd[f"{prefix}.bias"])
+    return d
+
+
+def import_fastspeech2(sd: Dict[str, Any], cfg,
+                       prefix: str = "encoder") -> Dict[str, Any]:
+    """fairseq ``FastSpeech2Encoder``/``FastSpeech2EncoderNoEmb`` state dict
+    -> params for :class:`...fastspeech2.FastSpeech2Encoder`.
+
+    ``prefix`` is the torch-side module prefix ('encoder' for a standalone
+    fastspeech2 checkpoint, 'tts' inside the joint S2S model).
+    """
+    P = lambda s: f"{prefix}.{s}" if prefix else s
+    p: Dict[str, Any] = {
+        "pos_emb_alpha": _np(sd[P("pos_emb_alpha")]),
+        "dec_pos_emb_alpha": _np(sd[P("dec_pos_emb_alpha")]),
+        "out_proj": _dense(sd, P("out_proj")),
+    }
+    if P("embed_tokens.weight") in sd:
+        p["embed_tokens"] = {"embedding": _np(sd[P("embed_tokens.weight")])}
+
+    def fft(prefix_t):
+        return {
+            "self_attn": _mha(sd, f"{prefix_t}.self_attn"),
+            "layer_norm": _ln(sd, f"{prefix_t}.layer_norm"),
+            "ffn": {
+                "conv1": _conv(sd, f"{prefix_t}.ffn.ffn.0"),
+                "conv2": _conv(sd, f"{prefix_t}.ffn.ffn.2"),
+                "layer_norm": _ln(sd, f"{prefix_t}.ffn.layer_norm"),
+            },
+        }
+
+    for i in range(cfg.encoder_layers):
+        p[f"encoder_fft_{i}"] = fft(P(f"encoder_fft_layers.{i}"))
+    for i in range(cfg.decoder_layers):
+        p[f"decoder_fft_{i}"] = fft(P(f"decoder_fft_layers.{i}"))
+
+    def vp(prefix_t):
+        return {
+            "conv1": _conv(sd, f"{prefix_t}.conv1.0"),
+            "ln1": _ln(sd, f"{prefix_t}.ln1"),
+            "conv2": _conv(sd, f"{prefix_t}.conv2.0"),
+            "ln2": _ln(sd, f"{prefix_t}.ln2"),
+            "proj": _dense(sd, f"{prefix_t}.proj"),
+        }
+
+    va = P("var_adaptor")
+    p["var_adaptor"] = {
+        "duration_predictor": vp(f"{va}.duration_predictor"),
+        "pitch_predictor": vp(f"{va}.pitch_predictor"),
+        "energy_predictor": vp(f"{va}.energy_predictor"),
+        "embed_pitch": {"embedding": _np(sd[f"{va}.embed_pitch.weight"])},
+        "embed_energy": {"embedding": _np(sd[f"{va}.embed_energy.weight"])},
+    }
+    return {"params": p}
