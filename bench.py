@@ -95,21 +95,48 @@ def main():
     durs[:, -1] += M - per * T_PHONE
     durs = jnp.asarray(durs)
 
+    # three jits (DAG+decode / FastSpeech2 / vocoder) so each compile payload
+    # stays under the compile-service request limit; XLA pipelines the
+    # dispatches back-to-back on device.
     @jax.jit
-    def s2st(fbank, src_lengths, prev, durs):
+    def stage1(fbank, src_lengths, prev):
         logits, links, feats = model.apply(params, fbank, src_lengths, prev)
         ol = jnp.sum(prev != cfg.dag.vocab.pad, axis=1)
         res = greedy_or_lookahead_decode(
             logits, links, ol, cfg.dag.vocab.pad, 1.0, True)
         z, zmask = gather_path_features(feats, res, skip_first=True)
-        z = z[:, :T_PHONE]
-        zmask = zmask[:, :T_PHONE]
+        return res.tokens, z[:, :T_PHONE], zmask[:, :T_PHONE]
+
+    @jax.jit
+    def stage2(z, zmask, durs):
         mel, _, mel_lens, _, _, _ = model.apply(
             params, z, zmask, M, durs, method=model.synthesize)
-        wav = voc.apply(vparams, mel)
-        return res.tokens, mel, wav
+        return mel
+
+    stage3 = jax.jit(lambda mel: voc.apply(vparams, mel))
+
+    def s2st(fbank, src_lengths, prev, durs):
+        tokens, z, zmask = stage1(fbank, src_lengths, prev)
+        mel = stage2(z, zmask, durs)
+        return tokens, mel, stage3(mel)
+
+    import sys
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
 
     args = (fbank, src_lengths, prev, durs)
+    t = time.perf_counter()
+    o1 = stage1(fbank, src_lengths, prev)
+    jax.block_until_ready(o1)
+    log(f"stage1 (DAG+decode) compiled in {time.perf_counter()-t:.0f}s")
+    t = time.perf_counter()
+    o2 = stage2(o1[1], o1[2], durs)
+    jax.block_until_ready(o2)
+    log(f"stage2 (FastSpeech2) compiled in {time.perf_counter()-t:.0f}s")
+    t = time.perf_counter()
+    jax.block_until_ready(stage3(o2))
+    log(f"stage3 (HiFi-GAN) compiled in {time.perf_counter()-t:.0f}s")
     jax.block_until_ready(s2st(*args))          # compile
     n_iters = 10
     t0 = time.perf_counter()

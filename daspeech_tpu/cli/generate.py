@@ -1,0 +1,162 @@
+"""Generation/eval CLI: decode a test split to phonemes, mel features, and
+(optionally) waveforms.
+
+Rebuild of ``DASpeech/generator/generate_features.py`` (mel .npy dump per
+utterance) + ``hifi-gan/inference_e2e.py`` (mel -> wav) in one entry point:
+
+  python -m daspeech_tpu.cli.generate DATA --checkpoint DIR \
+      --task nat_speech_to_speech --decode-strategy lookahead \
+      --results-path results/ [--vocoder-checkpoint G.pt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from daspeech_tpu.core.config import DAGModelConfig, DecodeConfig, S2SModelConfig
+from daspeech_tpu.models import (
+    HiFiGANGenerator,
+    S2SConformerDAGFastSpeech2,
+    S2TConformerDAG,
+)
+from daspeech_tpu.tasks import (
+    NATSpeechToSpeechTask,
+    NATSpeechToTextTask,
+    TaskConfig,
+)
+from daspeech_tpu.train import TrainState, make_optimizer
+from daspeech_tpu.train.checkpoint import CheckpointManager
+
+
+def write_wav(path, wav: np.ndarray, sample_rate: int = 22050):
+    """int16 WAV writer (``inference_e2e.py`` uses scipy.io.wavfile; the
+    stdlib ``wave`` module avoids that dependency)."""
+    data = np.clip(wav, -1.0, 1.0)
+    data = (data * 32767.0).astype(np.int16)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(data.tobytes())
+
+
+def read_wav(path):
+    with wave.open(str(path), "rb") as f:
+        sr = f.getframerate()
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype=np.int16)
+    return data.astype(np.float32) / 32767.0, sr
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("daspeech-generate")
+    p.add_argument("data")
+    p.add_argument("--task", default="nat_speech_to_speech",
+                   choices=["nat_speech_to_text", "nat_speech_to_speech"])
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--gen-subset", default="test")
+    p.add_argument("--results-path", default="results")
+    p.add_argument("--decode-strategy", default="lookahead")
+    p.add_argument("--decode-beta", type=float, default=1.0)
+    p.add_argument("--decode-viterbibeta", type=float, default=1.0)
+    p.add_argument("--src-upsample-scale", type=float, default=0.5)
+    p.add_argument("--max-tokens", type=int, default=40000)
+    p.add_argument("--max-mel-len", type=int, default=1024)
+    p.add_argument("--vocoder", action="store_true",
+                   help="also synthesize waveforms with HiFi-GAN")
+    p.add_argument("--model-yaml", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    is_s2s = args.task == "nat_speech_to_speech"
+    task_cls = NATSpeechToSpeechTask if is_s2s else NATSpeechToTextTask
+    task = task_cls.setup_task(TaskConfig(
+        data_dir=args.data, max_tokens=args.max_tokens))
+    task.load_dataset(args.gen_subset,
+                      upsample_scale=args.src_upsample_scale)
+    vocab = task.vocab
+
+    from daspeech_tpu.cli.train import build_model_cfg
+
+    class _A:
+        model_yaml = args.model_yaml
+        criterion = ("s2s_dag_fastspeech2_loss" if is_s2s else "nat_dag_loss")
+
+    model_cfg = build_model_cfg(_A, vocab)
+    model = (S2SConformerDAGFastSpeech2(model_cfg) if is_s2s
+             else S2TConformerDAG(model_cfg))
+
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    # restore with an abstract template derived from a probe batch
+    it = task.get_batch_iterator(args.gen_subset,
+                                 upsample_scale=args.src_upsample_scale)
+    probe = next(iter(it))
+
+    def init_fn(key):
+        jb = {k: jnp.asarray(v) for k, v in probe.items()}
+        if is_s2s:
+            def full(m):
+                _, _, feats = m(jb["fbank"], jb["src_lengths"],
+                                jb["prev_output_tokens"])
+                B, L = jb["prev_output_tokens"].shape
+                return m.synthesize(feats, jnp.zeros((B, L), bool), 8)
+            return model.init(key, method=full)
+        return model.init(key, jb["fbank"], jb["src_lengths"],
+                          jb["prev_output_tokens"])
+
+    variables = jax.eval_shape(init_fn, jax.random.key(0))
+    tx = make_optimizer()
+    state_like = jax.eval_shape(
+        lambda v: TrainState.create(v, tx), variables)
+    state = ckpt.restore(state_like)
+    if state is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+    params = {"params": state.params}
+    if state.batch_stats:
+        params["batch_stats"] = state.batch_stats
+
+    decode_cfg = DecodeConfig(
+        strategy=args.decode_strategy, beta=args.decode_beta,
+        viterbibeta=args.decode_viterbibeta)
+    if is_s2s:
+        gen = task.build_generator(model, decode_cfg,
+                                   max_mel_len=args.max_mel_len)
+    else:
+        gen = task.build_generator(model, decode_cfg)
+
+    out_dir = Path(args.results_path)
+    (out_dir / "feat").mkdir(parents=True, exist_ok=True)
+    hypos_file = (out_dir / "hypos.txt").open("w")
+
+    n = 0
+    for spec, idxs in it.batches_for_epoch(0):
+        batch = it.collate(spec, idxs)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        hypos = gen.generate(params, jb)
+        for i, local in enumerate(idxs):
+            utt_id = it.dataset[local].utt_id
+            h = hypos[i]
+            text = task.tgt_dict.string(h["tokens"])
+            hypos_file.write(f"{utt_id}\t{text}\n")
+            if is_s2s and "feature" in h:
+                # transposed [80, T] like generate_features.py:87-91
+                np.save(out_dir / "feat" / f"{utt_id}.npy",
+                        np.asarray(h["feature"]).T)
+            n += 1
+    hypos_file.close()
+    print(json.dumps({"generated": n, "results": str(out_dir)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

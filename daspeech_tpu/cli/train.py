@@ -1,0 +1,233 @@
+"""Training CLI.
+
+Rebuild of ``fairseq_cli/train.py`` specialized to the DASpeech recipes
+(``/root/reference/README.md:224-323``):
+
+  python -m daspeech_tpu.cli.train DATA \
+      --task nat_speech_to_text --criterion nat_dag_loss \
+      --model-yaml model.yaml --max-update 100000 --save-dir ckpts ...
+
+The epoch loop, validation cadence, checkpointing, and early-stop logic of
+the reference trainer collapse into this file; the per-step machinery
+(grad accumulation via microbatch averaging, fp16 scaling, OOM retries,
+manual all-reduce) is not needed: batches have fixed bucket shapes, bf16
+needs no loss scaling, and XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from daspeech_tpu.core.config import (
+    DAGModelConfig,
+    DecodeConfig,
+    S2SModelConfig,
+    from_dict,
+)
+from daspeech_tpu.losses import nat_dag_loss, s2s_dag_fastspeech2_loss
+from daspeech_tpu.models import S2SConformerDAGFastSpeech2, S2TConformerDAG
+from daspeech_tpu.tasks import (
+    NATSpeechToSpeechTask,
+    NATSpeechToTextTask,
+    TaskConfig,
+)
+from daspeech_tpu.train import (
+    TrainState,
+    anneal_value,
+    jit_data_parallel,
+    make_optimizer,
+    make_train_step,
+    parse_anneal,
+)
+from daspeech_tpu.train.checkpoint import CheckpointManager
+from daspeech_tpu.train.metrics import JsonProgressLogger, MetricsAggregator
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("daspeech-train")
+    p.add_argument("data")
+    p.add_argument("--task", default="nat_speech_to_text",
+                   choices=["nat_speech_to_text", "nat_speech_to_speech"])
+    p.add_argument("--criterion", default="nat_dag_loss",
+                   choices=["nat_dag_loss", "s2s_dag_fastspeech2_loss"])
+    p.add_argument("--model-yaml", default=None,
+                   help="YAML with the model config tree; default recipe dims")
+    p.add_argument("--save-dir", default="checkpoints")
+    p.add_argument("--max-update", type=int, default=1000)
+    p.add_argument("--max-tokens", type=int, default=40000)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--warmup-updates", type=int, default=10000)
+    p.add_argument("--warmup-init-lr", type=float, default=1e-7)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument("--glat-p", default="0.5:0.1@100k")
+    p.add_argument("--glance-strategy", default="number-random")
+    p.add_argument("--no-force-emit", action="store_true")
+    p.add_argument("--training-strategy", default="expect",
+                   choices=["expect", "argmax"])
+    p.add_argument("--tts-loss-weight", type=float, default=5.0)
+    p.add_argument("--dag-freezing-steps", type=int, default=-1)
+    p.add_argument("--src-upsample-scale", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--save-interval-updates", type=int, default=2000)
+    p.add_argument("--validate-interval-updates", type=int, default=2000)
+    p.add_argument("--keep-last-checkpoints", type=int, default=5)
+    p.add_argument("--train-subset", default="train")
+    p.add_argument("--valid-subset", default="dev")
+    p.add_argument("--num-buckets", type=int, default=8)
+    p.add_argument("--max-source-positions", type=int, default=6000)
+    p.add_argument("--max-target-positions", type=int, default=1024)
+    p.add_argument("--restore", action="store_true",
+                   help="resume from the latest checkpoint in save-dir")
+    return p.parse_args(argv)
+
+
+def build_model_cfg(args, vocab):
+    if args.model_yaml:
+        import yaml
+
+        data = yaml.safe_load(Path(args.model_yaml).read_text())
+        cls = (S2SModelConfig if args.criterion == "s2s_dag_fastspeech2_loss"
+               else DAGModelConfig)
+        cfg = from_dict(cls, data)
+    else:
+        cfg = (S2SModelConfig() if args.criterion == "s2s_dag_fastspeech2_loss"
+               else DAGModelConfig())
+    # stamp the actual vocab
+    import dataclasses
+
+    if isinstance(cfg, S2SModelConfig):
+        cfg = dataclasses.replace(
+            cfg, dag=dataclasses.replace(cfg.dag, vocab=vocab))
+    else:
+        cfg = dataclasses.replace(cfg, vocab=vocab)
+    return cfg
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    task_cls = (NATSpeechToSpeechTask if args.task == "nat_speech_to_speech"
+                else NATSpeechToTextTask)
+    task = task_cls.setup_task(TaskConfig(
+        data_dir=args.data, max_tokens=args.max_tokens,
+        num_buckets=args.num_buckets,
+        max_source_positions=args.max_source_positions,
+        max_target_positions=args.max_target_positions))
+    task.load_dataset(args.train_subset, upsample_scale=args.src_upsample_scale)
+    try:
+        task.load_dataset(args.valid_subset,
+                          upsample_scale=args.src_upsample_scale)
+        has_valid = True
+    except FileNotFoundError:
+        has_valid = False
+
+    vocab = task.vocab
+    model_cfg = build_model_cfg(args, vocab)
+    is_s2s = args.criterion == "s2s_dag_fastspeech2_loss"
+    model = (S2SConformerDAGFastSpeech2(model_cfg) if is_s2s
+             else S2TConformerDAG(model_cfg))
+
+    # --- init params with one real batch shape
+    it = task.get_batch_iterator(
+        args.train_subset, seed=args.seed,
+        upsample_scale=args.src_upsample_scale)
+    first = next(iter(it))
+    jbatch = {k: jnp.asarray(v) for k, v in first.items()}
+
+    def init_fn(key):
+        if is_s2s:
+            def full(m):
+                logits, links, feats = m(
+                    jbatch["fbank"], jbatch["src_lengths"],
+                    jbatch["prev_output_tokens"])
+                B, L = jbatch["prev_output_tokens"].shape
+                return m.synthesize(
+                    feats, jnp.zeros((B, L), bool),
+                    jbatch["target_audio"].shape[1])
+            return model.init(key, method=full)
+        return model.init(key, jbatch["fbank"], jbatch["src_lengths"],
+                          jbatch["prev_output_tokens"])
+
+    variables = init_fn(jax.random.key(args.seed))
+    tx = make_optimizer(
+        lr=args.lr, warmup_updates=args.warmup_updates,
+        warmup_init_lr=args.warmup_init_lr,
+        weight_decay=args.weight_decay, clip_norm=args.clip_norm)
+    state = TrainState.create(variables, tx)
+
+    ckpt = CheckpointManager(args.save_dir,
+                             keep_last=args.keep_last_checkpoints)
+    if args.restore and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"restored checkpoint at step {int(state.step)}",
+              file=sys.stderr)
+
+    glat_sched = parse_anneal(args.glat_p)
+    glance = (None if args.glance_strategy in ("none", "None")
+              else args.glance_strategy)
+
+    def loss_fn(params_dict, batch, key, step):
+        glat_p = anneal_value(glat_sched, step)
+        if is_s2s:
+            freeze = args.dag_freezing_steps > 0
+            return s2s_dag_fastspeech2_loss(
+                model, params_dict, batch, key, glat_p, vocab,
+                tts_loss_weight=args.tts_loss_weight,
+                training_strategy=args.training_strategy,
+                glance_strategy=glance,
+                no_force_emit=args.no_force_emit,
+                freeze_dag=freeze)
+        return nat_dag_loss(
+            model, params_dict, batch, key, glat_p, vocab,
+            glance_strategy=glance, no_force_emit=args.no_force_emit)
+
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices.reshape(-1), ("data",))
+    step_fn = jit_data_parallel(make_train_step(loss_fn, tx), mesh)
+
+    logger = JsonProgressLogger(log_interval=args.log_interval)
+    agg = MetricsAggregator()
+    rng = jax.random.key(args.seed)
+
+    update = int(state.step)
+    epoch = 0
+    t_start = time.perf_counter()
+    while update < args.max_update:
+        epoch += 1
+        for spec, idxs in it.batches_for_epoch(epoch):
+            batch = it.collate(spec, idxs)
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k != "sample_mask"}
+            state, metrics = step_fn(state, jb, rng)
+            update = int(state.step)
+            for k, v in metrics.items():
+                agg.log_scalar(k, float(v))
+            agg.log_speed("ups")
+            stats = agg.get_smoothed_values()
+            logger.log(stats, update, epoch)
+            if update % args.save_interval_updates == 0:
+                ckpt.save(state, update,
+                          metric=stats.get("loss"))
+            if update >= args.max_update:
+                break
+    ckpt.save(state, update)
+    wall = time.perf_counter() - t_start
+    logger.print({"done": True, "wall_s": round(wall, 1),
+                  **agg.get_smoothed_values()}, update, epoch)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

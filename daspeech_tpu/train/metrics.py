@@ -1,0 +1,118 @@
+"""Metrics aggregation and progress logging.
+
+Rebuild of ``fairseq/fairseq/logging/{metrics,meters,progress_bar}.py``:
+a nested aggregator stack with summed/weighted scalars, derived metrics,
+smoothed rates, and a JSON-line progress logger (the recipes all run with
+``--log-format json``). Cross-worker aggregation is unnecessary: training
+metrics are already psum'd inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import math
+import sys
+import time
+from collections import OrderedDict, defaultdict
+from typing import Any, Callable, Dict, List, Optional
+
+
+class AverageMeter:
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0.0
+
+    def update(self, val: float, n: float = 1.0):
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+
+class TimeMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.start = time.perf_counter()
+        self.n = 0.0
+
+    def update(self, n: float = 1.0):
+        self.n += n
+
+    @property
+    def rate(self) -> float:
+        dt = time.perf_counter() - self.start
+        return self.n / dt if dt > 0 else 0.0
+
+
+class MetricsAggregator:
+    """``metrics.aggregate`` context + log_scalar/log_derived
+    (``logging/metrics.py:45-134``)."""
+
+    def __init__(self):
+        self.meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
+        self.speed: Dict[str, TimeMeter] = {}
+        self.derived: Dict[str, Callable[[Dict[str, float]], float]] = {}
+
+    def log_scalar(self, key: str, value: float, weight: float = 1.0):
+        v = float(value)
+        if math.isfinite(v):
+            self.meters[key].update(v, weight)
+
+    def log_derived(self, key: str, fn: Callable[[Dict[str, float]], float]):
+        self.derived[key] = fn
+
+    def log_speed(self, key: str, n: float = 1.0):
+        if key not in self.speed:
+            self.speed[key] = TimeMeter()
+        self.speed[key].update(n)
+
+    def get_smoothed_values(self) -> Dict[str, float]:
+        out = OrderedDict(
+            (k, round(m.avg, 4)) for k, m in self.meters.items())
+        for k, t in self.speed.items():
+            out[k] = round(t.rate, 2)
+        for k, fn in self.derived.items():
+            try:
+                out[k] = round(fn(out), 4)
+            except Exception:
+                pass
+        return out
+
+    def reset(self):
+        self.meters.clear()
+        self.derived.clear()
+        for t in self.speed.values():
+            t.reset()
+
+
+class JsonProgressLogger:
+    """``--log-format json`` progress (``logging/progress_bar.py``)."""
+
+    def __init__(self, stream=None, log_interval: int = 100,
+                 tag: str = "train"):
+        self.stream = stream or sys.stdout
+        self.log_interval = log_interval
+        self.tag = tag
+
+    def log(self, stats: Dict[str, Any], step: int, epoch: int = 0):
+        if step % self.log_interval:
+            return
+        rec = {"tag": self.tag, "epoch": epoch, "update": step, **stats}
+        self.stream.write(json.dumps(rec) + "\n")
+        self.stream.flush()
+
+    def print(self, stats: Dict[str, Any], step: int, epoch: int = 0):
+        rec = {"tag": self.tag, "epoch": epoch, "update": step, **stats}
+        self.stream.write(json.dumps(rec) + "\n")
+        self.stream.flush()
+
+
+@contextlib.contextmanager
+def aggregate():
+    agg = MetricsAggregator()
+    yield agg

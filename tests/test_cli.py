@@ -1,0 +1,93 @@
+"""End-to-end CLI tests on tiny synthetic data — the analogue of the
+reference's ``tests/test_binaries.py`` (train a tiny model for a few updates
+through the real entry point, then decode with the generate CLI)."""
+
+import csv
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+from test_data import make_dataset
+
+TINY_MODEL = {
+    "encoder": {"embed_dim": 16, "ffn_dim": 32, "num_layers": 1,
+                "num_heads": 2, "conv_channels": 32,
+                "depthwise_kernel_size": 7},
+    "decoder": {"embed_dim": 16, "ffn_dim": 32, "num_layers": 1,
+                "num_heads": 2, "max_target_positions": 64},
+}
+
+TINY_S2S = {
+    "dag": TINY_MODEL,
+    "tts": {"encoder_layers": 1, "encoder_embed_dim": 16,
+            "encoder_heads": 2, "decoder_layers": 1,
+            "decoder_embed_dim": 16, "decoder_heads": 2,
+            "fft_hidden_dim": 32, "var_pred_hidden_dim": 16,
+            "var_pred_n_bins": 8},
+    "adaptor_ffn_dim": 32,
+}
+
+
+def write_corpus(tmp_path, rng, s2s=False, n=8):
+    d, rows, _ = make_dataset(tmp_path, rng, n=n, s2s=s2s)
+    for split in ("train", "dev", "test"):
+        with open(tmp_path / f"{split}.tsv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()),
+                               delimiter="\t")
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+    d.save(tmp_path / "vocab.txt")
+    return d
+
+
+class TestTrainCLI:
+    def test_s2t_train_and_generate(self, tmp_path, capsys):
+        rng = np.random.default_rng(0)
+        write_corpus(tmp_path, rng, s2s=False)
+        (tmp_path / "model.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--criterion", "nat_dag_loss",
+            "--model-yaml", str(tmp_path / "model.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "3", "--max-tokens", "512",
+            "--num-buckets", "1", "--lr", "1e-3",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--max-source-positions", "100",
+            "--max-target-positions", "32",
+            "--save-interval-updates", "2",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        assert any(r.get("done") for r in recs)
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses))
+        # checkpoints written
+        ckpts = list((tmp_path / "ckpt").glob("checkpoint_*"))
+        assert ckpts
+
+        from daspeech_tpu.cli.generate import main as gen_main
+
+        rc = gen_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--gen-subset", "test",
+            "--results-path", str(tmp_path / "results"),
+            "--model-yaml", str(tmp_path / "model.yaml"),
+            "--max-tokens", "512",
+        ])
+        assert rc == 0
+        hypos = (tmp_path / "results" / "hypos.txt").read_text().splitlines()
+        assert len(hypos) == 8
+        for line in hypos:
+            utt, *text = line.split("\t")
+            assert utt.startswith("utt")
