@@ -30,15 +30,19 @@ import jax.numpy as jnp
 from daspeech_tpu.core.config import (
     DAGModelConfig,
     DecodeConfig,
+    FastSpeech2Config,
     S2SModelConfig,
     from_dict,
 )
 from daspeech_tpu.losses import nat_dag_loss, s2s_dag_fastspeech2_loss
+from daspeech_tpu.losses.tts_loss import fastspeech2_criterion
 from daspeech_tpu.models import S2SConformerDAGFastSpeech2, S2TConformerDAG
+from daspeech_tpu.models.fastspeech2 import FastSpeech2Encoder
 from daspeech_tpu.tasks import (
     NATSpeechToSpeechTask,
     NATSpeechToTextTask,
     TaskConfig,
+    TextToSpeechTask,
 )
 from daspeech_tpu.train import (
     TrainState,
@@ -56,9 +60,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("daspeech-train")
     p.add_argument("data")
     p.add_argument("--task", default="nat_speech_to_text",
-                   choices=["nat_speech_to_text", "nat_speech_to_speech"])
+                   choices=["nat_speech_to_text", "nat_speech_to_speech",
+                            "text_to_speech"])
     p.add_argument("--criterion", default="nat_dag_loss",
-                   choices=["nat_dag_loss", "s2s_dag_fastspeech2_loss"])
+                   choices=["nat_dag_loss", "s2s_dag_fastspeech2_loss",
+                            "fastspeech2"])
+    p.add_argument("--max-sentences", type=int, default=64)
     p.add_argument("--model-yaml", default=None,
                    help="YAML with the model config tree; default recipe dims")
     p.add_argument("--save-dir", default="checkpoints")
@@ -93,16 +100,21 @@ def parse_args(argv=None):
 
 
 def build_model_cfg(args, vocab):
+    if args.criterion == "fastspeech2":
+        cls = FastSpeech2Config
+    elif args.criterion == "s2s_dag_fastspeech2_loss":
+        cls = S2SModelConfig
+    else:
+        cls = DAGModelConfig
     if args.model_yaml:
         import yaml
 
         data = yaml.safe_load(Path(args.model_yaml).read_text())
-        cls = (S2SModelConfig if args.criterion == "s2s_dag_fastspeech2_loss"
-               else DAGModelConfig)
         cfg = from_dict(cls, data)
     else:
-        cfg = (S2SModelConfig() if args.criterion == "s2s_dag_fastspeech2_loss"
-               else DAGModelConfig())
+        cfg = cls()
+    if cls is FastSpeech2Config:
+        return cfg
     # stamp the actual vocab
     import dataclasses
 
@@ -116,8 +128,9 @@ def build_model_cfg(args, vocab):
 
 def main(argv=None):
     args = parse_args(argv)
-    task_cls = (NATSpeechToSpeechTask if args.task == "nat_speech_to_speech"
-                else NATSpeechToTextTask)
+    task_cls = {"nat_speech_to_speech": NATSpeechToSpeechTask,
+                "text_to_speech": TextToSpeechTask}.get(
+                    args.task, NATSpeechToTextTask)
     task = task_cls.setup_task(TaskConfig(
         data_dir=args.data, max_tokens=args.max_tokens,
         num_buckets=args.num_buckets,
@@ -134,17 +147,34 @@ def main(argv=None):
     vocab = task.vocab
     model_cfg = build_model_cfg(args, vocab)
     is_s2s = args.criterion == "s2s_dag_fastspeech2_loss"
-    model = (S2SConformerDAGFastSpeech2(model_cfg) if is_s2s
-             else S2TConformerDAG(model_cfg))
+    is_tts = args.criterion == "fastspeech2"
+    if is_tts:
+        model = FastSpeech2Encoder(model_cfg, vocab_size=vocab.size,
+                                   pad=vocab.pad)
+    elif is_s2s:
+        model = S2SConformerDAGFastSpeech2(model_cfg)
+    else:
+        model = S2TConformerDAG(model_cfg)
 
     # --- init params with one real batch shape
-    it = task.get_batch_iterator(
-        args.train_subset, seed=args.seed,
-        upsample_scale=args.src_upsample_scale)
+    if is_tts:
+        it = task.get_batch_iterator(args.train_subset,
+                                     max_sentences=args.max_sentences,
+                                     seed=args.seed)
+    else:
+        it = task.get_batch_iterator(
+            args.train_subset, seed=args.seed,
+            upsample_scale=args.src_upsample_scale)
     first = next(iter(it))
     jbatch = {k: jnp.asarray(v) for k, v in first.items()}
 
     def init_fn(key):
+        if is_tts:
+            return model.init(
+                key, src_tokens=jbatch["src_tokens"],
+                max_out_len=int(jbatch["target_audio"].shape[1]),
+                durations=jbatch["durations"], pitches=jbatch["pitches"],
+                energies=jbatch["energies"])
         if is_s2s:
             def full(m):
                 logits, links, feats = m(
@@ -177,6 +207,8 @@ def main(argv=None):
               else args.glance_strategy)
 
     def loss_fn(params_dict, batch, key, step):
+        if is_tts:
+            return fastspeech2_criterion(model, params_dict, batch, key, vocab)
         glat_p = anneal_value(glat_sched, step)
         if is_s2s:
             freeze = args.dag_freezing_steps > 0

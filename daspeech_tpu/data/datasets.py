@@ -214,21 +214,19 @@ class BucketBatcher:
             graph_lengths as _gl, initialize_output_tokens as _init)
         import jax.numpy as jnp
 
+        from daspeech_tpu.data import native
+
         items = [self.dataset[i] for i in idxs]
         B = spec.batch if pad_last else len(items)
         n_real = len(items)
         while len(items) < B:
             items.append(items[0])
 
-        fbank = np.zeros((B, spec.src, items[0].fbank.shape[1]), np.float32)
-        src_lengths = np.zeros((B,), np.int32)
-        target = np.full((B, spec.tgt), self.vocab.pad, np.int32)
-        for b, it in enumerate(items):
-            s = min(len(it.fbank), spec.src)
-            fbank[b, :s] = it.fbank[:s]
-            src_lengths[b] = s
-            t = min(len(it.target), spec.tgt)
-            target[b, :t] = it.target[:t]
+        fbank = native.pack_frames([it.fbank for it in items], spec.src)
+        src_lengths = np.asarray(
+            [min(len(it.fbank), spec.src) for it in items], np.int32)
+        target = native.pack_tokens(
+            [it.target for it in items], spec.tgt, self.vocab.pad)
 
         glen = np.clip((src_lengths * self.upsample_scale).astype(np.int32),
                        2, min(spec.graph, self.max_graph))
@@ -267,3 +265,81 @@ class BucketBatcher:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for spec, idxs in self.batches_for_epoch(0):
             yield self.collate(spec, idxs)
+
+
+@dataclasses.dataclass
+class TTSItem:
+    utt_id: str
+    tokens: np.ndarray         # [T] int32 phonemes (+eos, no bos)
+    mel: np.ndarray            # [M, 80]
+    duration: np.ndarray       # [T]
+    pitch: np.ndarray          # [T]
+    energy: np.ndarray         # [T]
+
+
+class TextToSpeechDataset:
+    """TTS pretraining dataset (``fairseq/fairseq/data/audio/
+    text_to_speech_dataset.py``): the 'audio' column holds the target mel,
+    'tgt_text' the phoneme sequence; duration has a trailing 0 for EOS
+    (``DATA_PREPARE.md`` TTS prep)."""
+
+    def __init__(self, rows: Sequence[Dict[str, str]], tgt_dict: Dictionary):
+        self.rows = list(rows)
+        self.tgt_dict = tgt_dict
+
+    def __len__(self):
+        return len(self.rows)
+
+    def n_frames(self, i: int) -> int:
+        return int(self.rows[i]["n_frames"])
+
+    def tgt_len(self, i: int) -> int:
+        return len(self.rows[i]["tgt_text"].split()) + 1   # + eos
+
+    def __getitem__(self, i: int) -> TTSItem:
+        row = self.rows[i]
+        mel = get_features_or_waveform(row["audio"]).astype(np.float32)
+        tokens = self.tgt_dict.encode_line(
+            row["tgt_text"], append_eos=True, prepend_bos=False)
+        dur = np.asarray([int(x) for x in row["duration"].split()], np.int32)
+        pitch = np.asarray([float(x) for x in row["pitch"].split()],
+                           np.float32)
+        energy = np.asarray([float(x) for x in row["energy"].split()],
+                            np.float32)
+        return TTSItem(row["id"], tokens, mel, dur, pitch, energy)
+
+
+def collate_tts(items: Sequence[TTSItem], pad: int, tok_cap: int,
+                mel_cap: int, batch: int) -> Dict[str, np.ndarray]:
+    """Pad a TTS batch to static dims (tokens and aligned variance rows to
+    ``tok_cap``, mel to ``mel_cap``)."""
+    n_real = len(items)
+    items = list(items)
+    while len(items) < batch:
+        items.append(items[0])
+    B = len(items)
+    tokens = np.full((B, tok_cap), pad, np.int32)
+    mel = np.zeros((B, mel_cap, items[0].mel.shape[1]), np.float32)
+    mel_lengths = np.zeros((B,), np.int32)
+    dur = np.zeros((B, tok_cap), np.int32)
+    pitch = np.zeros((B, tok_cap), np.float32)
+    energy = np.zeros((B, tok_cap), np.float32)
+    for b, it in enumerate(items):
+        t = min(len(it.tokens), tok_cap)
+        tokens[b, :t] = it.tokens[:t]
+        m = min(len(it.mel), mel_cap)
+        mel[b, :m] = it.mel[:m]
+        mel_lengths[b] = m
+        for src, dst in ((it.duration, dur), (it.pitch, pitch),
+                         (it.energy, energy)):
+            n = min(len(src), tok_cap)
+            dst[b, :n] = src[:n]
+    return {
+        "src_tokens": tokens,
+        "target_audio": mel,
+        "target_audio_lengths": mel_lengths,
+        "durations": dur,
+        "pitches": pitch,
+        "energies": energy,
+        "sample_mask": (np.arange(B) < n_real).astype(np.float32),
+    }

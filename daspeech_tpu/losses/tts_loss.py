@@ -1,0 +1,53 @@
+"""FastSpeech2 pretraining criterion (token -> mel), recipe stage 2.
+
+Wires the model-level :func:`fastspeech2_losses` to a full criterion over a
+padded batch, mirroring ``fairseq/fairseq/criterions/fastspeech2_loss.py``
+used with ``--task text_to_speech --arch fastspeech2``
+(``/root/reference/README.md:262-283``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from daspeech_tpu.losses.fastspeech2_loss import fastspeech2_losses
+from daspeech_tpu.models.layers import lengths_to_padding_mask
+
+
+def fastspeech2_criterion(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    vocab,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """batch keys: src_tokens [B, T] (phonemes, padded), target_audio
+    [B, M, 80], target_audio_lengths, durations/pitches/energies [B, T]."""
+    tokens = batch["src_tokens"]
+    mel_tgt = batch["target_audio"]
+    M = mel_tgt.shape[1]
+
+    variables = {"params": params["params"]}
+    mel, mel_post, out_lens, log_dur, pitch_out, energy_out = model.apply(
+        variables,
+        src_tokens=tokens,
+        max_out_len=M,
+        durations=batch["durations"],
+        pitches=batch["pitches"],
+        energies=batch["energies"],
+        train=train,
+        rngs={"dropout": rng},
+    )
+
+    src_mask = tokens != vocab.pad
+    mel_mask = ~lengths_to_padding_mask(batch["target_audio_lengths"], M)
+    loss, metrics = fastspeech2_losses(
+        mel, mel_post, log_dur, pitch_out, energy_out,
+        mel_tgt, batch["durations"], batch["pitches"], batch["energies"],
+        src_mask, mel_mask)
+    metrics["loss"] = loss
+    return loss, {"metrics": metrics, "batch_stats": None}

@@ -157,5 +157,49 @@ class NATSpeechToSpeechTask(NATSpeechToTextTask):
             vocoder=vocoder, vocoder_params=vocoder_params, gcmvn=gcmvn)
 
 
+class TextToSpeechTask(NATSpeechToTextTask):
+    """``text_to_speech`` (``fairseq/fairseq/tasks/text_to_speech.py``) —
+    FastSpeech2 pretraining: phoneme tokens -> mel with teacher-forced
+    duration/pitch/energy (recipe stage 2, ``README.md:262-283``)."""
+
+    for_s2s = False
+
+    def load_dataset(self, split: str, transforms=None, **kw):
+        from daspeech_tpu.data.datasets import TextToSpeechDataset
+
+        rows = load_tsv(Path(self.cfg.data_dir) / f"{split}.tsv")
+        self.datasets[split] = TextToSpeechDataset(rows, self.tgt_dict)
+        return self.datasets[split]
+
+    def get_batch_iterator(self, split: str, max_sentences: int = 64,
+                           seed: int = 1, **kw):
+        from daspeech_tpu.data.datasets import collate_tts, round_up
+
+        ds = self.datasets[split]
+        tok_cap = round_up(max(ds.tgt_len(i) for i in range(len(ds))), 8)
+        mel_cap = round_up(max(ds.n_frames(i) for i in range(len(ds))), 64)
+        vocab = self.vocab
+
+        class _It:
+            dataset = ds
+
+            def batches_for_epoch(self, epoch):
+                rng = np.random.default_rng(seed + epoch)
+                order = rng.permutation(len(ds))
+                return [(None, [int(i) for i in order[k:k + max_sentences]])
+                        for k in range(0, len(order), max_sentences)]
+
+            def collate(self, spec, idxs):
+                return collate_tts([ds[i] for i in idxs], vocab.pad,
+                                   tok_cap, mel_cap, max_sentences)
+
+            def __iter__(self):
+                for spec, idxs in self.batches_for_epoch(0):
+                    yield self.collate(spec, idxs)
+
+        return _It()
+
+
 register_task("nat_speech_to_text")(NATSpeechToTextTask)
 register_task("nat_speech_to_speech")(NATSpeechToSpeechTask)
+register_task("text_to_speech")(TextToSpeechTask)

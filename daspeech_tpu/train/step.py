@@ -21,30 +21,76 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_train_step(
     loss_fn: Callable,
     tx,
-    donate: bool = True,
+    accum_steps: int = 1,
+    nan_guard: bool = True,
 ):
     """Build a jitted train step.
 
     ``loss_fn(params_dict, batch, rng, step) -> (loss, aux)`` where aux
     carries ``metrics`` (dict of scalars) and optional ``batch_stats``.
+
+    ``accum_steps > 1`` implements ``--update-freq`` gradient accumulation
+    (``fairseq_cli/train.py:270-279``): every batch leaf must then carry a
+    leading microbatch axis [A, ...]; grads are averaged over A before the
+    optimizer update.
+
+    ``nan_guard`` replaces the reference's NanDetector + AMP-overflow retry
+    machinery (``trainer.py:977-1009``): a non-finite loss or grad-norm
+    skips the parameter/optimizer update for that step (params keep their
+    values, metrics record ``skipped=1``) instead of corrupting the run.
     """
 
     def train_step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
-        def lossf(params):
+        def lossf(params, mb, key):
             return loss_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch, rng, state.step)
+                mb, key, state.step)
 
-        (loss, aux), grads = jax.value_and_grad(lossf, has_aux=True)(
-            state.params)
+        if accum_steps == 1:
+            (loss, aux), grads = jax.value_and_grad(
+                lossf, has_aux=True)(state.params, batch, rng)
+        else:
+            def micro(carry, inputs):
+                acc, loss_acc = carry
+                mb, key = inputs
+                (l, aux), g = jax.value_and_grad(lossf, has_aux=True)(
+                    state.params, mb, key)
+                acc = jax.tree.map(jnp.add, acc, g)
+                return (acc, loss_acc + l), aux
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            keys = jax.random.split(rng, accum_steps)
+            (grads, loss_sum), auxs = jax.lax.scan(
+                micro, (zeros, 0.0),
+                (batch, keys))
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            loss = loss_sum / accum_steps
+            aux = jax.tree.map(lambda x: x[-1], auxs)
+            aux["metrics"] = jax.tree.map(
+                lambda x: jnp.mean(x.astype(jnp.float32)), auxs["metrics"])
+
+        gnorm = optax_global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(
             lambda p, u: (p + u).astype(p.dtype), state.params, updates)
-        gnorm = optax_global_norm(grads)
+
+        if nan_guard:
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_params, state.params)
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_opt, state.opt_state)
+            skipped = (~ok).astype(jnp.float32)
+        else:
+            skipped = jnp.zeros(())
+
         metrics = dict(aux["metrics"])
         metrics["gnorm"] = gnorm
+        metrics["skipped"] = skipped
         new_bs = aux.get("batch_stats") or state.batch_stats
         new_state = state.replace(
             step=state.step + 1, params=new_params,

@@ -91,3 +91,49 @@ class TestTrainCLI:
         for line in hypos:
             utt, *text = line.split("\t")
             assert utt.startswith("utt")
+
+
+class TestTTSCLI:
+    def test_fastspeech2_pretraining(self, tmp_path, capsys):
+        """Stage-2 recipe: --task text_to_speech --criterion fastspeech2."""
+        rng = np.random.default_rng(1)
+        d, rows, _ = make_dataset(tmp_path, rng, n=6, s2s=True)
+        # TTS tsv: audio column = target mel, plus duration/pitch/energy
+        tts_rows = []
+        for r in rows:
+            tts_rows.append({
+                "id": r["id"], "audio": r["tgt_audio"],
+                "n_frames": r["tgt_n_frames"], "tgt_text": r["tgt_text"],
+                "duration": r["duration"], "pitch": r["pitch"],
+                "energy": r["energy"]})
+        with open(tmp_path / "train.tsv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(tts_rows[0].keys()),
+                               delimiter="\t")
+            w.writeheader()
+            for r in tts_rows:
+                w.writerow(r)
+        d.save(tmp_path / "vocab.txt")
+        tts_yaml = {"encoder_layers": 1, "encoder_embed_dim": 16,
+                    "encoder_heads": 2, "decoder_layers": 1,
+                    "decoder_embed_dim": 16, "decoder_heads": 2,
+                    "fft_hidden_dim": 32, "var_pred_hidden_dim": 16,
+                    "var_pred_n_bins": 8}
+        (tmp_path / "tts.yaml").write_text(yaml.safe_dump(tts_yaml))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "text_to_speech",
+            "--criterion", "fastspeech2",
+            "--model-yaml", str(tmp_path / "tts.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-sentences", "4",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--valid-subset", "missing",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses))
+        assert any("l1-loss" in r for r in recs)
