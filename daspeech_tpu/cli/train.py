@@ -96,6 +96,13 @@ def parse_args(argv=None):
     p.add_argument("--max-target-positions", type=int, default=1024)
     p.add_argument("--restore", action="store_true",
                    help="resume from the latest checkpoint in save-dir")
+    p.add_argument("--load-pretrained-dag-from", default=None,
+                   help="checkpoint dir of a pretrained DA-Transformer")
+    p.add_argument("--load-pretrained-fastspeech-from", default=None,
+                   help="checkpoint dir of a pretrained FastSpeech2")
+    p.add_argument("--reset-decoder-vocab", action="store_true",
+                   help="keep fresh decoder embeddings when loading the "
+                        "pretrained DAG (multilingual vocabulary swap)")
     return p.parse_args(argv)
 
 
@@ -189,14 +196,40 @@ def main(argv=None):
                           jbatch["prev_output_tokens"])
 
     variables = init_fn(jax.random.key(args.seed))
+
+    # stage-3 component transfer (README.md:288-323)
+    if args.load_pretrained_dag_from or args.load_pretrained_fastspeech_from:
+        from daspeech_tpu.train.checkpoint import (
+            transfer_dag_params, transfer_tts_params)
+
+        params = dict(variables["params"])
+        if args.load_pretrained_dag_from:
+            src = CheckpointManager(args.load_pretrained_dag_from).restore()
+            src_params = src["params"] if "params" in src else src
+            params = transfer_dag_params(
+                params, src_params, reset_vocab=args.reset_decoder_vocab)
+            print("loaded pretrained DA-Transformer from "
+                  f"{args.load_pretrained_dag_from}", file=sys.stderr)
+        if args.load_pretrained_fastspeech_from:
+            src = CheckpointManager(
+                args.load_pretrained_fastspeech_from).restore()
+            src_params = src["params"] if "params" in src else src
+            params = transfer_tts_params(params, src_params)
+            print("loaded pretrained FastSpeech2 from "
+                  f"{args.load_pretrained_fastspeech_from}", file=sys.stderr)
+        variables = dict(variables)
+        variables["params"] = params
+
     tx = make_optimizer(
         lr=args.lr, warmup_updates=args.warmup_updates,
         warmup_init_lr=args.warmup_init_lr,
         weight_decay=args.weight_decay, clip_norm=args.clip_norm)
     state = TrainState.create(variables, tx)
 
+    uses_bleu_metric = has_valid and not (is_s2s or is_tts)
     ckpt = CheckpointManager(args.save_dir,
-                             keep_last=args.keep_last_checkpoints)
+                             keep_last=args.keep_last_checkpoints,
+                             maximize_best=uses_bleu_metric)
     if args.restore and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"restored checkpoint at step {int(state.step)}",
@@ -233,6 +266,34 @@ def main(argv=None):
     agg = MetricsAggregator()
     rng = jax.random.key(args.seed)
 
+    # validation: eval-BLEU through the generator for S2T
+    # (``--eval-bleu``, ``nat_speech_to_text.py:280-331``)
+    generator = None
+    if has_valid and not (is_s2s or is_tts):
+        generator = task.build_generator(
+            model, DecodeConfig(strategy="lookahead"))
+
+    def validate(cur_state):
+        if not has_valid or generator is None:
+            return None
+        from daspeech_tpu.eval import corpus_bleu
+
+        vit = task.get_batch_iterator(
+            args.valid_subset, seed=args.seed,
+            upsample_scale=args.src_upsample_scale)
+        params_d = {"params": cur_state.params}
+        if cur_state.batch_stats:
+            params_d["batch_stats"] = cur_state.batch_stats
+        hyps, refs = [], []
+        for spec, idxs in vit.batches_for_epoch(0):
+            b = vit.collate(spec, idxs)
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            out = generator.generate(params_d, jb)
+            for i, local in enumerate(idxs):
+                hyps.append(task.tgt_dict.string(out[i]["tokens"]))
+                refs.append(vit.dataset._tgt_text(int(local)))
+        return corpus_bleu(hyps, refs)
+
     update = int(state.step)
     epoch = 0
     t_start = time.perf_counter()
@@ -249,9 +310,16 @@ def main(argv=None):
             agg.log_speed("ups")
             stats = agg.get_smoothed_values()
             logger.log(stats, update, epoch)
+            metric = stats.get("loss")
+            if (generator is not None
+                    and update % args.validate_interval_updates == 0):
+                bleu = validate(state)
+                if bleu is not None:
+                    logger.print({"valid_bleu": round(bleu, 2)},
+                                 update, epoch)
+                    metric = bleu
             if update % args.save_interval_updates == 0:
-                ckpt.save(state, update,
-                          metric=stats.get("loss"))
+                ckpt.save(state, update, metric=metric)
             if update >= args.max_update:
                 break
     ckpt.save(state, update)

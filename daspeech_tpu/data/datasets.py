@@ -291,14 +291,18 @@ class TextToSpeechDataset:
         return len(self.rows)
 
     def n_frames(self, i: int) -> int:
-        return int(self.rows[i]["n_frames"])
+        row = self.rows[i]
+        return int(row.get("n_frames") or row["tgt_n_frames"])
 
     def tgt_len(self, i: int) -> int:
         return len(self.rows[i]["tgt_text"].split()) + 1   # + eos
 
     def __getitem__(self, i: int) -> TTSItem:
         row = self.rows[i]
-        mel = get_features_or_waveform(row["audio"]).astype(np.float32)
+        # a TTS-specific tsv uses 'audio'; an S2ST tsv carries the same
+        # information in 'tgt_audio' (``create_tsv.py`` join)
+        mel_path = row.get("audio") or row["tgt_audio"]
+        mel = get_features_or_waveform(mel_path).astype(np.float32)
         tokens = self.tgt_dict.encode_line(
             row["tgt_text"], append_eos=True, prepend_bos=False)
         dur = np.asarray([int(x) for x in row["duration"].split()], np.int32)

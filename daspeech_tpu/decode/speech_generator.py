@@ -1,0 +1,70 @@
+"""Speech generators for TTS-only inference paths.
+
+Rebuild of ``DASpeech/generator/speech_generator_modified.py`` /
+``fairseq/fairseq/speech_generator.py``'s non-autoregressive path: run
+FastSpeech2 from phoneme tokens with predicted durations, gcmvn-denormalize
+the mel, optionally vocode to a waveform. (The reference's autoregressive
+Tacotron-style generator exists only for its AR baselines, which are not
+part of the DASpeech model family; the NAR path below is the one its
+recipes exercise.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NonAutoregressiveSpeechGenerator:
+    """``NonAutoregressiveSpeechGenerator`` with the ``generate_waveform``
+    flag of the modified variant (``speech_generator_modified.py:96-150``)."""
+
+    def __init__(self, model, vocab, max_mel_len: int = 2048,
+                 vocoder=None, vocoder_params=None, gcmvn=None,
+                 d_factor: float = 1.0, hop: int = 256):
+        self.model = model
+        self.vocab = vocab
+        self.max_mel_len = max_mel_len
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.gcmvn = gcmvn
+        self.d_factor = d_factor
+        self.hop = hop
+        self._fn = None
+
+    def _build(self):
+        model, M, d_factor = self.model, self.max_mel_len, self.d_factor
+        voc, vparams = self.vocoder, self.vocoder_params
+
+        @jax.jit
+        def run(params, src_tokens):
+            mel, mel_post, out_lens, _, _, _ = model.apply(
+                params, src_tokens=src_tokens, max_out_len=M,
+                d_factor=d_factor)
+            mel_final = mel_post if mel_post is not None else mel
+            wav = voc.apply(vparams, mel_final) if voc is not None else None
+            return mel_final, out_lens, wav
+
+        return run
+
+    def generate(self, params, batch: Dict[str, jnp.ndarray],
+                 generate_waveform: bool = True) -> List[Dict]:
+        if self._fn is None:
+            self._fn = self._build()
+        mel, out_lens, wav = self._fn(params, batch["src_tokens"])
+        mel = np.asarray(mel)
+        out_lens = np.asarray(out_lens)
+        out = []
+        for b in range(mel.shape[0]):
+            m = mel[b, : out_lens[b]]
+            if self.gcmvn is not None:
+                m = self.gcmvn.denormalize(m)
+            hypo = {"feature": m}
+            if wav is not None and generate_waveform:
+                hypo["waveform"] = np.asarray(
+                    wav)[b, : out_lens[b] * self.hop]
+            out.append(hypo)
+        return out

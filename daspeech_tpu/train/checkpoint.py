@@ -82,11 +82,14 @@ class CheckpointManager:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
-    def restore(self, state_like, step: Optional[int] = None):
+    def restore(self, state_like=None, step: Optional[int] = None):
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
-        return self._ckptr.restore(self._path(step).resolve(), state_like)
+        path = self._path(step).resolve()
+        if state_like is None:
+            return self._ckptr.restore(path)
+        return self._ckptr.restore(path, state_like)
 
 
 def average_checkpoints(manager: CheckpointManager, state_like,
@@ -118,4 +121,50 @@ def load_pretrained_component(target_params: Dict, source_params: Dict,
     if component not in source_params:
         raise KeyError(f"{component!r} not in source checkpoint")
     out[component] = source_params[component]
+    return out
+
+
+def transfer_dag_params(target_params: Dict, source_params: Dict,
+                        reset_vocab: bool = False) -> Dict:
+    """Load a pretrained DA-Transformer into an S2S (or fresh S2T) model
+    (``--load-pretrained-dag-from``, ``s2s_conformer_dag_fastspeech2.py:66-70``).
+
+    With ``reset_vocab`` the decoder token embedding (and, when untied, the
+    output projection) keep the target model's fresh values — the two-stage
+    multilingual pretraining's vocabulary swap
+    (``s2t_conformer_dag.py:94-99``, ``README.md:325-331``).
+    """
+    import copy
+
+    src = copy.deepcopy(source_params)
+    if "dag" in src:                     # source is an S2S tree
+        src = src["dag"]
+    tgt_sub = target_params["dag"] if "dag" in target_params else target_params
+    if reset_vocab and "decoder" in src and "decoder" in tgt_sub:
+        for name in ("embed_tokens", "output_projection"):
+            if name in src["decoder"] and name in tgt_sub["decoder"]:
+                src["decoder"][name] = tgt_sub["decoder"][name]
+    new_sub = dict(tgt_sub)
+    for key in ("encoder", "enc_proj", "decoder"):
+        if key in src:
+            new_sub[key] = src[key]
+    out = dict(target_params)
+    if "dag" in target_params:
+        out["dag"] = new_sub
+        return out
+    return new_sub
+
+
+def transfer_tts_params(target_params: Dict, source_params: Dict) -> Dict:
+    """Load pretrained FastSpeech2 params into the S2S model's ``tts``
+    sub-tree (``--load-pretrained-fastspeech-from``,
+    ``s2s_conformer_dag_fastspeech2.py:79-83``). ``source_params`` is the
+    param tree of a standalone FastSpeech2Encoder; embed_tokens (absent in
+    the NoEmb consumer) is dropped."""
+    import copy
+
+    tts = copy.deepcopy(source_params)
+    tts.pop("embed_tokens", None)
+    out = dict(target_params)
+    out["tts"] = tts
     return out

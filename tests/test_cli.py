@@ -137,3 +137,92 @@ class TestTTSCLI:
         losses = [r["loss"] for r in recs if "loss" in r]
         assert losses and all(np.isfinite(losses))
         assert any("l1-loss" in r for r in recs)
+
+
+class TestValidationBLEU:
+    def test_s2t_with_eval_bleu_validation(self, tmp_path, capsys):
+        rng = np.random.default_rng(2)
+        write_corpus(tmp_path, rng, s2s=False, n=6)
+        (tmp_path / "model.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--criterion", "nat_dag_loss",
+            "--model-yaml", str(tmp_path / "model.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-tokens", "512",
+            "--num-buckets", "1", "--warmup-updates", "2",
+            "--log-interval", "1", "--max-source-positions", "100",
+            "--max-target-positions", "32",
+            "--validate-interval-updates", "2",
+            "--valid-subset", "dev",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        bleus = [r["valid_bleu"] for r in recs if "valid_bleu" in r]
+        assert bleus, "validation BLEU was not logged"
+        assert all(0 <= b <= 100 for b in bleus)
+
+
+class TestS2SFinetuning:
+    def test_three_stage_recipe(self, tmp_path, capsys):
+        """Full recipe: S2TT pretrain -> TTS pretrain -> S2ST finetune with
+        component transfer (``README.md:224-323``)."""
+        rng = np.random.default_rng(3)
+        d, rows, _ = make_dataset(tmp_path, rng, n=6, s2s=True)
+        with open(tmp_path / "train.tsv", "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()),
+                               delimiter="\t")
+            w.writeheader()
+            for r in rows:
+                w.writerow(r)
+        d.save(tmp_path / "vocab.txt")
+        (tmp_path / "dag.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+        (tmp_path / "s2s.yaml").write_text(yaml.safe_dump(TINY_S2S))
+        (tmp_path / "tts.yaml").write_text(yaml.safe_dump(TINY_S2S["tts"]))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        common = ["--max-tokens", "512", "--num-buckets", "1",
+                  "--warmup-updates", "2", "--log-interval", "1",
+                  "--max-source-positions", "100",
+                  "--max-target-positions", "16",
+                  "--valid-subset", "missing"]
+        # stage 1: S2TT DAG pretraining
+        rc = train_main([str(tmp_path), "--task", "nat_speech_to_text",
+                         "--criterion", "nat_dag_loss",
+                         "--model-yaml", str(tmp_path / "dag.yaml"),
+                         "--save-dir", str(tmp_path / "dag_ckpt"),
+                         "--max-update", "1"] + common)
+        assert rc == 0
+        # stage 2: FastSpeech2 pretraining
+        rc = train_main([str(tmp_path), "--task", "text_to_speech",
+                         "--criterion", "fastspeech2",
+                         "--model-yaml", str(tmp_path / "tts.yaml"),
+                         "--save-dir", str(tmp_path / "tts_ckpt"),
+                         "--max-update", "1", "--max-sentences", "4"]
+                        + common)
+        assert rc == 0
+        # stage 3: joint finetuning with transferred components
+        rc = train_main([str(tmp_path), "--task", "nat_speech_to_speech",
+                         "--criterion", "s2s_dag_fastspeech2_loss",
+                         "--model-yaml", str(tmp_path / "s2s.yaml"),
+                         "--save-dir", str(tmp_path / "s2s_ckpt"),
+                         "--max-update", "2",
+                         "--training-strategy", "expect",
+                         "--tts-loss-weight", "5.0",
+                         "--load-pretrained-dag-from",
+                         str(tmp_path / "dag_ckpt"),
+                         "--load-pretrained-fastspeech-from",
+                         str(tmp_path / "tts_ckpt")] + common)
+        assert rc == 0
+        out = capsys.readouterr()
+        recs = [json.loads(x) for x in out.out.strip().splitlines()]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses))
+        assert any("tts-loss" in r for r in recs)
+        assert "loaded pretrained DA-Transformer" in out.err
+        assert "loaded pretrained FastSpeech2" in out.err

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from utils import fast_init
+from testutils import fast_init
 
 from daspeech_tpu.core.config import (
     ConformerConfig,

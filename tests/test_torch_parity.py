@@ -22,6 +22,10 @@ REF = Path("/root/reference")
 class TestHiFiGANParity:
     def test_generator_waveform_matches(self):
         torch = pytest.importorskip("torch")
+        # the reference imports its own top-level `utils`/`models`/`env`;
+        # drop any same-named modules loaded earlier in the test session
+        for mod in ("utils", "models", "env"):
+            sys.modules.pop(mod, None)
         sys.path.insert(0, str(REF / "hifi-gan"))
         from env import AttrDict
         from models import Generator
