@@ -73,6 +73,9 @@ def parse_args(argv=None):
     p.add_argument("--vocoder", action="store_true",
                    help="also synthesize waveforms with HiFi-GAN")
     p.add_argument("--model-yaml", default=None)
+    p.add_argument("--average-last-n", type=int, default=0,
+                   help="average the last N checkpoints before decoding "
+                        "(scripts/average_checkpoints.py equivalent)")
     return p.parse_args(argv)
 
 
@@ -121,6 +124,12 @@ def main(argv=None):
     state = ckpt.restore(state_like)
     if state is None:
         raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+    if args.average_last_n > 1:
+        from daspeech_tpu.train.checkpoint import average_checkpoints
+
+        avg = average_checkpoints(ckpt, state_like,
+                                  last_n=args.average_last_n)
+        state = state.replace(params=avg)
     params = {"params": state.params}
     if state.batch_stats:
         params["batch_stats"] = state.batch_stats

@@ -103,6 +103,8 @@ def parse_args(argv=None):
     p.add_argument("--reset-decoder-vocab", action="store_true",
                    help="keep fresh decoder embeddings when loading the "
                         "pretrained DAG (multilingual vocabulary swap)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 5-15 to DIR")
     return p.parse_args(argv)
 
 
@@ -297,31 +299,50 @@ def main(argv=None):
     update = int(state.step)
     epoch = 0
     t_start = time.perf_counter()
-    while update < args.max_update:
-        epoch += 1
-        for spec, idxs in it.batches_for_epoch(epoch):
-            batch = it.collate(spec, idxs)
-            jb = {k: jnp.asarray(v) for k, v in batch.items()
-                  if k != "sample_mask"}
-            state, metrics = step_fn(state, jb, rng)
-            update = int(state.step)
-            for k, v in metrics.items():
-                agg.log_scalar(k, float(v))
-            agg.log_speed("ups")
-            stats = agg.get_smoothed_values()
-            logger.log(stats, update, epoch)
-            metric = stats.get("loss")
-            if (generator is not None
-                    and update % args.validate_interval_updates == 0):
-                bleu = validate(state)
-                if bleu is not None:
-                    logger.print({"valid_bleu": round(bleu, 2)},
-                                 update, epoch)
-                    metric = bleu
-            if update % args.save_interval_updates == 0:
-                ckpt.save(state, update, metric=metric)
-            if update >= args.max_update:
-                break
+
+    def loop():
+        nonlocal state, update, epoch
+        while update < args.max_update:
+            epoch += 1
+            for spec, idxs in it.batches_for_epoch(epoch):
+                batch = it.collate(spec, idxs)
+                jb = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k != "sample_mask"}
+                if args.profile_dir and update == 5:
+                    jax.profiler.start_trace(args.profile_dir)
+                if args.profile_dir and update == 15:
+                    jax.profiler.stop_trace()
+                state, metrics = step_fn(state, jb, rng)
+                update = int(state.step)
+                for k, v in metrics.items():
+                    agg.log_scalar(k, float(v))
+                agg.log_speed("ups")
+                stats = agg.get_smoothed_values()
+                logger.log(stats, update, epoch)
+                metric = stats.get("loss")
+                if (generator is not None
+                        and update % args.validate_interval_updates == 0):
+                    bleu = validate(state)
+                    if bleu is not None:
+                        logger.print({"valid_bleu": round(bleu, 2)},
+                                     update, epoch)
+                        metric = bleu
+                if update % args.save_interval_updates == 0:
+                    ckpt.save(state, update, metric=metric)
+                if update >= args.max_update:
+                    return
+
+    try:
+        loop()
+    except Exception:
+        # crash checkpoint (``trainer.py:869-874`` crash.pt equivalent)
+        try:
+            ckpt.save(state, update, extra={"crash": True})
+            print(f"saved crash checkpoint at step {update}",
+                  file=sys.stderr)
+        except Exception:
+            pass
+        raise
     ckpt.save(state, update)
     wall = time.perf_counter() - t_start
     logger.print({"done": True, "wall_s": round(wall, 1),
