@@ -53,6 +53,16 @@ class S2TNATGenerator:
                     logits, links, ol, vocab.pad, cfg.beta, cfg.viterbibeta,
                     joint=cfg.strategy == "jointviterbi",
                     max_length=cfg.max_output_length or max(2, prev.shape[1] // 4))
+            elif cfg.strategy == "beamsearch":
+                from daspeech_tpu.decode.beam_search import beam_search_decode
+
+                res = beam_search_decode(
+                    logits, links, ol, vocab.pad, vocab.bos,
+                    beam_size=int(cfg.beamsize),
+                    top_cand_n=int(cfg.top_cand_n),
+                    decode_beta=cfg.beta, decode_alpha=cfg.alpha,
+                    top_p=cfg.top_p, dedup=cfg.dedup,
+                    max_steps=cfg.max_output_length or 0)
             else:
                 raise NotImplementedError(cfg.strategy)
             return res, feats
