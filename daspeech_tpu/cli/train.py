@@ -300,12 +300,13 @@ def main(argv=None):
     epoch = 0
     t_start = time.perf_counter()
 
+    from daspeech_tpu.data.prefetch import prefetch_epoch
+
     def loop():
         nonlocal state, update, epoch
         while update < args.max_update:
             epoch += 1
-            for spec, idxs in it.batches_for_epoch(epoch):
-                batch = it.collate(spec, idxs)
+            for spec, batch in prefetch_epoch(it, epoch):
                 jb = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "sample_mask"}
                 if args.profile_dir and update == 5:

@@ -1,0 +1,57 @@
+"""Background batch prefetching.
+
+The reference feeds its GPUs with torch DataLoader worker processes
+(``--num-workers``); here a bounded-queue producer thread overlaps
+host-side collation (TSV reads, zip-npy decode, padding) with device steps
+so the single-CPU host keeps the TPU fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator
+
+_SENTINEL = object()
+
+
+class Prefetcher:
+    """Iterate ``producer()`` items from a daemon thread, ``depth`` ahead."""
+
+    def __init__(self, producer: Callable[[], Iterable], depth: int = 4):
+        self.producer = producer
+        self.depth = depth
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        err = []
+
+        def run():
+            try:
+                for item in self.producer():
+                    q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def prefetch_epoch(batcher, epoch: int, depth: int = 4):
+    """Prefetched (spec, collated-batch) stream for one epoch of a
+    ``BucketBatcher``-style iterator."""
+
+    def produce():
+        for spec, idxs in batcher.batches_for_epoch(epoch):
+            yield spec, batcher.collate(spec, idxs)
+
+    return Prefetcher(produce, depth=depth)

@@ -187,3 +187,40 @@ class TestDatasetsAndBatching:
             i for _, ix in e0b for i in ix]
         assert [i for _, ix in e0a for i in ix] != [
             i for _, ix in e1 for i in ix]
+
+
+class TestPrefetch:
+    def test_prefetcher_preserves_order_and_errors(self):
+        from daspeech_tpu.data.prefetch import Prefetcher
+
+        out = list(Prefetcher(lambda: iter(range(20)), depth=3))
+        assert out == list(range(20))
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = iter(Prefetcher(bad, depth=2))
+        assert next(it) == 1
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            list(it)
+
+    def test_prefetch_epoch_matches_direct(self, tmp_path):
+        from daspeech_tpu.core.config import VocabConfig
+        from daspeech_tpu.data.prefetch import prefetch_epoch
+
+        rng = np.random.default_rng(9)
+        d, rows, _ = make_dataset(tmp_path, rng)
+        ds = NATSpeechToTextDataset(rows, d)
+        vocab = VocabConfig(size=len(d))
+        specs = make_buckets([ds.n_frames(i) for i in range(len(ds))],
+                             max_tokens=256, num_buckets=2, src_mult=16)
+        b = BucketBatcher(ds, range(len(ds)), specs, vocab=vocab)
+        direct = [(spec, b.collate(spec, idxs))
+                  for spec, idxs in b.batches_for_epoch(1)]
+        fetched = list(prefetch_epoch(b, 1))
+        assert len(direct) == len(fetched)
+        for (s1, b1), (s2, b2) in zip(direct, fetched):
+            assert s1 == s2
+            np.testing.assert_array_equal(b1["fbank"], b2["fbank"])
