@@ -70,8 +70,13 @@ def parse_args(argv=None):
     p.add_argument("--src-upsample-scale", type=float, default=0.5)
     p.add_argument("--max-tokens", type=int, default=40000)
     p.add_argument("--max-mel-len", type=int, default=1024)
-    p.add_argument("--vocoder", action="store_true",
-                   help="also synthesize waveforms with HiFi-GAN")
+    p.add_argument("--vocoder-checkpoint", default=None,
+                   help="orbax checkpoint dir from cli.train_vocoder")
+    p.add_argument("--vocoder-torch", default=None,
+                   help="torch HiFi-GAN generator .pt (weight-normed) to "
+                        "import (the reference's VCTK_V1 release format)")
+    p.add_argument("--gcmvn-stats", default=None,
+                   help="gcmvn_stats.npz for mel denormalization")
     p.add_argument("--model-yaml", default=None)
     p.add_argument("--average-last-n", type=int, default=0,
                    help="average the last N checkpoints before decoding "
@@ -134,12 +139,42 @@ def main(argv=None):
     if state.batch_stats:
         params["batch_stats"] = state.batch_stats
 
+    # optional vocoder (``get_vocoder`` dispatch, ``vocoder.py:297-305``)
+    vocoder = vocoder_params = None
+    if args.vocoder_torch or args.vocoder_checkpoint:
+        from daspeech_tpu.core.config import HiFiGANConfig
+
+        hifi_cfg = HiFiGANConfig()
+        vocoder = HiFiGANGenerator(hifi_cfg)
+        if args.vocoder_torch:
+            import torch
+
+            from daspeech_tpu.train.torch_import import import_hifigan
+
+            sd = torch.load(args.vocoder_torch, map_location="cpu",
+                            weights_only=True)
+            sd = sd.get("generator", sd)
+            vocoder_params = import_hifigan(sd, hifi_cfg)
+        else:
+            vck = CheckpointManager(args.vocoder_checkpoint)
+            vstate = vck.restore()
+            vocoder_params = vstate["gen_params"]
+
+    gcmvn = None
+    if args.gcmvn_stats:
+        from daspeech_tpu.data.transforms import GlobalCMVN
+
+        gcmvn = GlobalCMVN(stats_npz_path=args.gcmvn_stats)
+
     decode_cfg = DecodeConfig(
         strategy=args.decode_strategy, beta=args.decode_beta,
         viterbibeta=args.decode_viterbibeta)
     if is_s2s:
         gen = task.build_generator(model, decode_cfg,
-                                   max_mel_len=args.max_mel_len)
+                                   max_mel_len=args.max_mel_len,
+                                   vocoder=vocoder,
+                                   vocoder_params=vocoder_params,
+                                   gcmvn=gcmvn)
     else:
         gen = task.build_generator(model, decode_cfg)
 
@@ -161,6 +196,10 @@ def main(argv=None):
                 # transposed [80, T] like generate_features.py:87-91
                 np.save(out_dir / "feat" / f"{utt_id}.npy",
                         np.asarray(h["feature"]).T)
+            if "waveform" in h:
+                (out_dir / "wav").mkdir(exist_ok=True)
+                write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
+                          np.asarray(h["waveform"]))
             n += 1
     hypos_file.close()
     print(json.dumps({"generated": n, "results": str(out_dir)}))
