@@ -232,9 +232,19 @@ def main(argv=None):
     ckpt = CheckpointManager(args.save_dir,
                              keep_last=args.keep_last_checkpoints,
                              maximize_best=uses_bleu_metric)
+    resume_epoch, resume_batch = 0, 0
     if args.restore and ckpt.latest_step() is not None:
+        import json as _json
+
         state = ckpt.restore(state)
-        print(f"restored checkpoint at step {int(state.step)}",
+        meta_f = (Path(args.save_dir)
+                  / f"checkpoint_{ckpt.latest_step()}.json")
+        if meta_f.exists():
+            meta = _json.loads(meta_f.read_text())
+            resume_epoch = int(meta.get("epoch", 0))
+            resume_batch = int(meta.get("batch_idx", 0))
+        print(f"restored checkpoint at step {int(state.step)} "
+              f"(epoch {resume_epoch}, batch {resume_batch})",
               file=sys.stderr)
 
     glat_sched = parse_anneal(args.glat_p)
@@ -304,9 +314,15 @@ def main(argv=None):
 
     def loop():
         nonlocal state, update, epoch
+        epoch = max(0, resume_epoch - 1)
+        first_skip = resume_batch
         while update < args.max_update:
             epoch += 1
+            batch_idx = -1
             for spec, batch in prefetch_epoch(it, epoch):
+                batch_idx += 1
+                if epoch == resume_epoch and batch_idx < first_skip:
+                    continue     # fast-forward to the saved iterator position
                 jb = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "sample_mask"}
                 if args.profile_dir and update == 5:
@@ -329,7 +345,9 @@ def main(argv=None):
                                      update, epoch)
                         metric = bleu
                 if update % args.save_interval_updates == 0:
-                    ckpt.save(state, update, metric=metric)
+                    ckpt.save(state, update, metric=metric,
+                              extra={"epoch": epoch,
+                                     "batch_idx": batch_idx + 1})
                 if update >= args.max_update:
                     return
 

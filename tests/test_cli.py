@@ -226,3 +226,31 @@ class TestS2SFinetuning:
         assert any("tts-loss" in r for r in recs)
         assert "loaded pretrained DA-Transformer" in out.err
         assert "loaded pretrained FastSpeech2" in out.err
+
+
+class TestResume:
+    def test_mid_epoch_resume(self, tmp_path, capsys):
+        rng = np.random.default_rng(4)
+        write_corpus(tmp_path, rng, s2s=False, n=8)
+        (tmp_path / "model.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        common = [str(tmp_path), "--task", "nat_speech_to_text",
+                  "--criterion", "nat_dag_loss",
+                  "--model-yaml", str(tmp_path / "model.yaml"),
+                  "--save-dir", str(tmp_path / "ckpt"),
+                  "--max-tokens", "256", "--num-buckets", "1",
+                  "--warmup-updates", "2", "--log-interval", "1",
+                  "--max-source-positions", "100",
+                  "--max-target-positions", "32",
+                  "--save-interval-updates", "2",
+                  "--valid-subset", "missing"]
+        assert train_main(common + ["--max-update", "2"]) == 0
+        capsys.readouterr()
+        assert train_main(common + ["--max-update", "4", "--restore"]) == 0
+        out = capsys.readouterr()
+        assert "restored checkpoint at step 2" in out.err
+        recs = [json.loads(x) for x in out.out.strip().splitlines()]
+        final = [r for r in recs if r.get("done")][0]
+        assert final["update"] == 4
