@@ -162,3 +162,76 @@ def import_fastspeech2(sd: Dict[str, Any], cfg,
         "embed_energy": {"embedding": _np(sd[f"{va}.embed_energy.weight"])},
     }
     return {"params": p}
+
+
+def import_conformer_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+    """One fairseq ``ConformerEncoderLayer`` (espnet rel_pos attention) ->
+    params/batch_stats for :class:`...conformer.ConformerEncoderLayer`."""
+    P = lambda s: f"{prefix}.{s}" if prefix else s
+
+    def ffn(p):
+        return {
+            "layer_norm": _ln(sd, f"{p}.layer_norm"),
+            "w_1": _dense(sd, f"{p}.w_1"),
+            "w_2": _dense(sd, f"{p}.w_2"),
+        }
+
+    attn = {
+        "linear_q": _dense(sd, P("self_attn.linear_q")),
+        "linear_k": _dense(sd, P("self_attn.linear_k")),
+        "linear_v": _dense(sd, P("self_attn.linear_v")),
+        "linear_out": _dense(sd, P("self_attn.linear_out")),
+        "linear_pos": _dense(sd, P("self_attn.linear_pos")),
+        "pos_bias_u": _np(sd[P("self_attn.pos_bias_u")]),
+        "pos_bias_v": _np(sd[P("self_attn.pos_bias_v")]),
+    }
+    # torch Conv1d k=1 [out, in, 1] -> Dense [in, out]
+    pw1 = _np(sd[P("conv_module.pointwise_conv1.weight")])[:, :, 0].T
+    pw2 = _np(sd[P("conv_module.pointwise_conv2.weight")])[:, :, 0].T
+    dw = np.transpose(_np(sd[P("conv_module.depthwise_conv.weight")]),
+                      (2, 1, 0))                      # [C,1,k] -> [k,1,C]
+    conv_module = {
+        "layer_norm": _ln(sd, P("conv_module.layer_norm")),
+        "pointwise_conv1": {"kernel": pw1},
+        "depthwise_conv": {"kernel": dw},
+        "batch_norm": {
+            "scale": _np(sd[P("conv_module.batch_norm.weight")]),
+            "bias": _np(sd[P("conv_module.batch_norm.bias")]),
+        },
+        "pointwise_conv2": {"kernel": pw2},
+    }
+    params = {
+        "ffn1": ffn(P("ffn1")),
+        "ffn2": ffn(P("ffn2")),
+        "self_attn_layer_norm": _ln(sd, P("self_attn_layer_norm")),
+        "self_attn": attn,
+        "conv_module": conv_module,
+        "final_layer_norm": _ln(sd, P("final_layer_norm")),
+    }
+    batch_stats = {
+        "conv_module": {"batch_norm": {
+            "mean": _np(sd[P("conv_module.batch_norm.running_mean")]),
+            "var": _np(sd[P("conv_module.batch_norm.running_var")]),
+        }},
+    }
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_conformer_encoder(sd: Dict[str, Any], num_layers: int,
+                             prefix: str = "encoder") -> Dict[str, Any]:
+    """Full ``S2TConformerEncoder`` state dict -> params for
+    :class:`...conformer.ConformerEncoder`."""
+    P = lambda s: f"{prefix}.{s}" if prefix else s
+    params: Dict[str, Any] = {
+        "linear": _dense(sd, P("linear")),
+        "subsample": {
+            f"conv{i}": _conv(sd, P(f"subsample.conv_layers.{i}"))
+            for i in range(2)
+        },
+    }
+    batch_stats: Dict[str, Any] = {}
+    for i in range(num_layers):
+        layer = import_conformer_layer(sd, P(f"conformer_layers.{i}"))
+        params[f"layers_{i}"] = layer["params"]
+        batch_stats[f"layers_{i}"] = layer["batch_stats"]
+    return {"params": params, "batch_stats": batch_stats}

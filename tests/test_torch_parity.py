@@ -65,17 +65,23 @@ class TestHiFiGANParity:
 @pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
 class TestFastSpeech2Parity:
     def _build_ref(self, torch):
-        """Instantiate the fairseq FastSpeech2Encoder with a tiny config."""
-        sys.path.insert(0, str(REF / "fairseq"))
+        """Instantiate the fairseq FastSpeech2Encoder via the import shim
+        (the fork's package __init__ breaks on python >= 3.12)."""
         from argparse import Namespace
 
-        from fairseq.data.dictionary import Dictionary as FairseqDict
-        from fairseq.models.text_to_speech.fastspeech2 import (
-            FastSpeech2Encoder)
+        import fairseq_shim
 
-        d = FairseqDict()
-        for s in ["AA", "B", "C", "D", "E"]:
-            d.add_symbol(s)
+        fs2_mod = fairseq_shim.install()
+        FastSpeech2Encoder = fs2_mod.FastSpeech2Encoder
+
+        class _Dict:
+            def __len__(self):
+                return 9
+
+            def pad(self):
+                return 1
+
+        d = _Dict()
         args = Namespace(
             dropout=0.0, output_frame_dim=80, speaker_embed_dim=0,
             fft_hidden_dim=32, fft_kernel_size=9, attention_dropout=0.0,
@@ -149,3 +155,94 @@ class TestFastSpeech2Parity:
             np.testing.assert_allclose(
                 np.asarray(got_mel)[b, :n], want_mel.numpy()[b, :n],
                 rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference repo not mounted")
+class TestConformerParity:
+    def test_conformer_layer_matches(self):
+        torch = pytest.importorskip("torch")
+        import fairseq_shim
+
+        fairseq_shim.install()
+        import fairseq
+
+        ConfLayer = fairseq.conformer_layer.ConformerEncoderLayer
+        RelPos = fairseq.positional_encoding.RelPositionalEncoding
+
+        torch.manual_seed(0)
+        D, H, FFN, K = 16, 2, 32, 7
+        ref = ConfLayer(embed_dim=D, ffn_embed_dim=FFN, attention_heads=H,
+                        dropout=0.0, use_fp16=False,
+                        depthwise_conv_kernel_size=K,
+                        attn_type="espnet", pos_enc_type="rel_pos").eval()
+        pos_enc = RelPos(100, D)
+
+        rng = np.random.default_rng(0)
+        B, T = 2, 12
+        x = rng.normal(size=(B, T, D)).astype(np.float32)
+        lengths = np.array([T, T - 3], np.int64)
+        pad_mask_np = np.arange(T)[None, :] >= lengths[:, None]
+
+        xt = torch.from_numpy(x).transpose(0, 1)       # T x B x C
+        pos = pos_enc(xt)                              # takes T x B x C
+        with torch.no_grad():
+            want, _ = ref(xt, torch.from_numpy(pad_mask_np), pos)
+        want = want.transpose(0, 1).numpy()
+
+        from daspeech_tpu.models.conformer import (
+            ConformerEncoderLayer as Ours, rel_positional_encoding)
+        from daspeech_tpu.train.torch_import import import_conformer_layer
+
+        imported = import_conformer_layer(
+            {k: v for k, v in ref.state_dict().items()}, "")
+        ours = Ours(embed_dim=D, ffn_dim=FFN, num_heads=H, dropout=0.0,
+                    depthwise_kernel_size=K, attn_dropout=0.0)
+        pos_ours = rel_positional_encoding(T, D)
+        got = np.asarray(ours.apply(
+            {"params": imported["params"],
+             "batch_stats": imported["batch_stats"]},
+            jnp.asarray(x), pos_ours, jnp.asarray(pad_mask_np)))
+
+        # our conv module masks padded frames (deliberate improvement), so
+        # the reference's conv leaks padding into the last (K-1)/2 valid
+        # frames of padded samples; compare everything before that boundary
+        half_k = (K - 1) // 2
+        for b in range(B):
+            n = int(lengths[b])
+            cut = n if n == T else n - half_k
+            np.testing.assert_allclose(got[b, :cut], want[b, :cut],
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_subsampler_matches(self):
+        torch = pytest.importorskip("torch")
+        import fairseq_shim
+
+        fairseq_shim.install()
+        import fairseq
+
+        Conv1dSub = fairseq.convolution.Conv1dSubsampler
+        torch.manual_seed(1)
+        ref = Conv1dSub(80, 32, 16, [5, 5]).eval()
+        rng = np.random.default_rng(1)
+        B, T = 2, 37
+        x = rng.normal(size=(B, T, 80)).astype(np.float32)
+        lengths = np.array([T, T], np.int64)
+        with torch.no_grad():
+            want, want_lens = ref(torch.from_numpy(x),
+                                  torch.from_numpy(lengths))
+        want = want.transpose(0, 1).numpy()           # B x T' x C
+
+        from daspeech_tpu.models.conformer import Conv1dSubsampler as Ours
+        from daspeech_tpu.train.torch_import import _conv
+
+        sd = ref.state_dict()
+        params = {"params": {
+            "conv0": _conv(sd, "conv_layers.0"),
+            "conv1": _conv(sd, "conv_layers.1"),
+        }}
+        got, got_lens = Ours(32, 16).apply(
+            params, jnp.asarray(x), jnp.asarray(lengths.astype(np.int32)))
+        np.testing.assert_array_equal(np.asarray(got_lens),
+                                      want_lens.numpy())
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-4, atol=2e-4)
