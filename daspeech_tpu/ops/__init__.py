@@ -30,4 +30,16 @@ __all__ = [
     "torch_style_dag_loss",
     "band_to_full",
     "full_to_band",
+    "dag_loss_pallas",
+    "dag_loss_with_alpha_beta_pallas",
 ]
+
+
+def __getattr__(name):
+    # Pallas backends import lazily (they pull in pallas/Mosaic machinery).
+    if name in ("dag_loss_pallas", "dag_loss_with_alpha_beta_pallas",
+                "dag_loss_forward_pallas"):
+        from daspeech_tpu.ops import dag_pallas
+
+        return getattr(dag_pallas, name)
+    raise AttributeError(name)
