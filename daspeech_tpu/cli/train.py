@@ -103,6 +103,10 @@ def parse_args(argv=None):
     p.add_argument("--reset-decoder-vocab", action="store_true",
                    help="keep fresh decoder embeddings when loading the "
                         "pretrained DAG (multilingual vocabulary swap)")
+    p.add_argument("--fused-vocab-chunk", type=int, default=None,
+                   help="stream the vocab projection in chunks of this size "
+                        "(never materializes B*L*V logits; for large "
+                        "multilingual vocabularies)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 5-15 to DIR")
     return p.parse_args(argv)
@@ -266,7 +270,8 @@ def main(argv=None):
                 freeze_dag=freeze)
         return nat_dag_loss(
             model, params_dict, batch, key, glat_p, vocab,
-            glance_strategy=glance, no_force_emit=args.no_force_emit)
+            glance_strategy=glance, no_force_emit=args.no_force_emit,
+            fused_vocab_chunk=args.fused_vocab_chunk)
 
     from jax.sharding import Mesh
 

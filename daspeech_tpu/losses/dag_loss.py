@@ -35,30 +35,40 @@ class GlatInfo(NamedTuple):
 
 def glat_glance(
     rng: jax.Array,
-    logits: jnp.ndarray,          # [B, L, V] first-pass logits (stop-grad)
-    links: jnp.ndarray,           # [B, L, L] first-pass links (stop-grad)
-    tgt_tokens: jnp.ndarray,      # [B, T]
+    logits: Optional[jnp.ndarray],   # [B, L, V] first-pass logits (stop-grad)
+    links: jnp.ndarray,              # [B, L, L] first-pass links (stop-grad)
+    tgt_tokens: jnp.ndarray,         # [B, T]
     prev_output_tokens: jnp.ndarray,  # [B, L]
-    context_p: jnp.ndarray,       # scalar glancing prob
+    context_p: jnp.ndarray,          # scalar glancing prob
     pad: int,
     strategy: Optional[str] = "number-random",
+    pred_tokens: Optional[jnp.ndarray] = None,   # [B, L] (fused path)
+    match: Optional[jnp.ndarray] = None,         # [B, T, L] (fused path)
 ) -> GlatInfo:
     """The ``glat_function`` (``nat_dag_loss.py:202-264``): Viterbi-align the
     graph to the reference, count mispredictions, and replace a subset of
-    graph vertices with oracle target tokens."""
-    logits = jax.lax.stop_gradient(logits)
+    graph vertices with oracle target tokens.
+
+    Pass either ``logits`` (argmax/match computed here) or precomputed
+    ``pred_tokens`` + ``match`` (the streaming fused-vocab path).
+    """
     links = jax.lax.stop_gradient(links)
-    B, L, _ = logits.shape
+    B, L = prev_output_tokens.shape
     T = tgt_tokens.shape[1]
 
     nonpad = tgt_tokens != pad
     target_length = jnp.sum(nonpad, axis=1)
     output_length = jnp.sum(prev_output_tokens != pad, axis=1)
 
-    pred_tokens = jnp.argmax(logits, axis=-1)                      # [B, L]
-    match = dag_logsoftmax_gather(
-        logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
-    match = jnp.swapaxes(match, 1, 2)                              # [B, T, L]
+    if logits is not None:
+        logits = jax.lax.stop_gradient(logits)
+        pred_tokens = jnp.argmax(logits, axis=-1)                  # [B, L]
+        match = dag_logsoftmax_gather(
+            logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+        match = jnp.swapaxes(match, 1, 2)                          # [B, T, L]
+    else:
+        pred_tokens = jax.lax.stop_gradient(pred_tokens)
+        match = jax.lax.stop_gradient(match)
     path = dag_best_alignment(match, links, output_length, target_length)
 
     predict_align_mask = path >= 0                                 # [B, L]
@@ -122,7 +132,7 @@ def force_emit_match(
 
 
 def compute_dag_loss(
-    logits: jnp.ndarray,                  # [B, L, V]
+    logits: Optional[jnp.ndarray],        # [B, L, V] (or None with match_all)
     links: jnp.ndarray,                   # [B, L, L]
     tgt_tokens: jnp.ndarray,              # [B, T]
     prev_output_tokens: jnp.ndarray,      # [B, L]
@@ -131,18 +141,20 @@ def compute_dag_loss(
     keep_word_mask: Optional[jnp.ndarray] = None,
     no_force_emit: bool = False,
     with_alpha_beta: bool = False,
+    match_all: Optional[jnp.ndarray] = None,   # [B, T, L] precomputed
 ):
     """``_compute_dag_loss`` (``nat_dag_loss.py:116-162``): returns
     (loss, metrics[, alpha, beta]). Non-finite sentences (unsatisfiable
     graphs) are masked out of the mean instead of crashing."""
-    B, L, V = logits.shape
+    B, L = prev_output_tokens.shape
     T = tgt_tokens.shape[1]
     output_length = jnp.sum(prev_output_tokens != pad, axis=1)
     target_length = jnp.sum(tgt_tokens != pad, axis=1)
 
-    match = dag_logsoftmax_gather(
-        logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
-    match_all = jnp.swapaxes(match, 1, 2)                          # [B, T, L]
+    if match_all is None:
+        match = dag_logsoftmax_gather(
+            logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+        match_all = jnp.swapaxes(match, 1, 2)                      # [B, T, L]
     if matchmask is not None:
         match_all = force_emit_match(
             match_all, matchmask, keep_word_mask, no_force_emit)
@@ -181,12 +193,18 @@ def nat_dag_loss(
     glance_strategy: Optional[str] = "number-random",
     no_force_emit: bool = False,
     train: bool = True,
+    fused_vocab_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Criterion forward (``NATDAGLoss.forward``, ``nat_dag_loss.py:164-314``).
 
     batch keys: fbank [B,S,80], src_lengths [B], target [B,T],
     prev_output_tokens [B,L] (built host-side from lambda * src_len so the
     graph width L is a static bucket dim).
+
+    ``fused_vocab_chunk``: when set, the [B, L, V] logits are never
+    materialized — both GLAT and the loss use the streaming fused-vocab ops
+    (for large multilingual vocabularies); requires the model's decoder to
+    tie input/output embeddings or expose ``output_projection``.
     """
     fbank, src_lengths = batch["fbank"], batch["src_lengths"]
     tgt_tokens = batch["target"]
@@ -210,31 +228,72 @@ def nat_dag_loss(
             updates = {}
         return logits, links, feats, updates
 
+    def forward_feats(prev):
+        out = model.apply(
+            enc_vars, fbank, src_lengths, prev, train=train,
+            rngs=rngs, method=model.forward_features,
+            mutable=["batch_stats"] if train else [])
+        if train:
+            (links, feats), updates = out
+        else:
+            links, feats = out
+            updates = {}
+        return links, feats, updates
+
+    def vocab_matrix():
+        dec = params["params"]["decoder"]
+        if "embed_tokens" in dec and "output_projection" not in dec:
+            W = dec["embed_tokens"]["embedding"].T      # tied, [D, V]
+        else:
+            W = dec["output_projection"]["kernel"]      # [D, V]
+        return W, jnp.zeros((W.shape[1],), jnp.float32)
+
     glat_info = None
     use_glat = glance_strategy is not None
+    fused = fused_vocab_chunk is not None
+    if fused:
+        from daspeech_tpu.ops.fused_vocab import (
+            fused_logsoftmax_gather, streaming_argmax_and_match)
 
-    def run_glat():
-        logits1, links1, _, _ = forward(prev_output_tokens)
-        return glat_glance(
-            k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
-            glat_p, vocab.pad, glance_strategy)
+        W, b = vocab_matrix()
 
     # glat_p is a traced scalar; the reference skips GLAT only when p == 0,
     # which we keep data-independent by always glancing and letting
     # keep_prob -> 0 as p -> 0 (identical expectation, jit-stable shape).
     if use_glat:
-        glat_info = run_glat()
+        if fused:
+            links1, feats1, _ = forward_feats(prev_output_tokens)
+            pred1, match1 = streaming_argmax_and_match(
+                feats1, W, b, tgt_tokens, fused_vocab_chunk)
+            glat_info = glat_glance(
+                k_glat, None, links1, tgt_tokens, prev_output_tokens,
+                glat_p, vocab.pad, glance_strategy,
+                pred_tokens=pred1, match=match1)
+        else:
+            logits1, links1, _, _ = forward(prev_output_tokens)
+            glat_info = glat_glance(
+                k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
+                glat_p, vocab.pad, glance_strategy)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
         prev2 = prev_output_tokens
         matchmask = keep_mask = None
 
-    logits, links, feats, updates = forward(prev2)
-    loss, metrics = compute_dag_loss(
-        logits, links, tgt_tokens, prev2, vocab.pad,
-        matchmask=matchmask, keep_word_mask=keep_mask,
-        no_force_emit=no_force_emit)
+    if fused:
+        links, feats, updates = forward_feats(prev2)
+        match_all = fused_logsoftmax_gather(
+            feats, W, b, tgt_tokens, fused_vocab_chunk)
+        loss, metrics = compute_dag_loss(
+            None, links, tgt_tokens, prev2, vocab.pad,
+            matchmask=matchmask, keep_word_mask=keep_mask,
+            no_force_emit=no_force_emit, match_all=match_all)
+    else:
+        logits, links, feats, updates = forward(prev2)
+        loss, metrics = compute_dag_loss(
+            logits, links, tgt_tokens, prev2, vocab.pad,
+            matchmask=matchmask, keep_word_mask=keep_mask,
+            no_force_emit=no_force_emit)
 
     metrics["loss"] = loss
     if glat_info is not None:

@@ -212,6 +212,18 @@ class S2TConformerDAG(nn.Module):
                  if require_links else None)
         return logits, links, features
 
+    def forward_features(self, fbank, src_lengths, prev_output_tokens,
+                         train: bool = False):
+        """Forward WITHOUT the vocab projection — for the streaming
+        fused-vocab loss path (``ops/fused_vocab.py``), which must never
+        materialize the [B, L, V] logits."""
+        enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
+        features = self.decoder.extract_features(
+            prev_output_tokens, enc, enc_pad, train=train)
+        links = self.decoder.extract_links(
+            features, prev_output_tokens, train=train)
+        return links, features
+
     def __call__(self, fbank, src_lengths, prev_output_tokens,
                  train: bool = False):
         enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)

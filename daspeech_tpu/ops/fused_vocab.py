@@ -163,3 +163,46 @@ def _fused_bwd(vocab_chunk, res, g):
 
 
 fused_logsoftmax_gather.defvjp(_fused_fwd, _fused_bwd)
+
+
+def streaming_argmax_and_match(feat, W, bias, targets, vocab_chunk=2048):
+    """No-grad helper for the GLAT glancing pass: (argmax tokens [B, L],
+    match [B, T, L]) without materializing [B, L, V] logits."""
+    feat = jax.lax.stop_gradient(feat.astype(jnp.float32))
+    W = jax.lax.stop_gradient(W.astype(jnp.float32))
+    bias = jax.lax.stop_gradient(bias.astype(jnp.float32))
+    B, L, D = feat.shape
+    V = W.shape[1]
+    feat2d = feat.reshape(B * L, D)
+
+    pad = (-V) % vocab_chunk
+    Wp = jnp.pad(W, ((0, 0), (0, pad))) if pad else W
+    bp = (jnp.pad(bias, (0, pad), constant_values=-jnp.inf) if pad else bias)
+    n_chunks = Wp.shape[1] // vocab_chunk
+    Wc = jnp.moveaxis(Wp.reshape(D, n_chunks, vocab_chunk), 1, 0)
+    bc = bp.reshape(n_chunks, vocab_chunk)
+
+    def step(carry, inputs):
+        m, s, best, best_ix, base = carry
+        Wi, bi = inputs
+        logits = jnp.dot(feat2d, Wi, precision=_PREC,
+                         preferred_element_type=jnp.float32) + bi[None, :]
+        cmax = jnp.max(logits, axis=-1)
+        carg = jnp.argmax(logits, axis=-1).astype(jnp.int32) + base
+        better = cmax > best
+        best = jnp.where(better, cmax, best)
+        best_ix = jnp.where(better, carg, best_ix)
+        m_new = jnp.maximum(m, cmax)
+        s = s * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(logits - m_new[:, None]), axis=-1)
+        return (m_new, s, best, best_ix, base + vocab_chunk), None
+
+    N = B * L
+    init = (jnp.full((N,), -jnp.inf), jnp.zeros((N,)),
+            jnp.full((N,), -jnp.inf), jnp.zeros((N,), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (m, s, _, best_ix, _), _ = jax.lax.scan(step, init, (Wc, bc))
+    logz = (jnp.log(s) + m).reshape(B, L)
+    un = _gathered_logits(feat, W, bias, targets)
+    match = un - logz[:, None, :]
+    return best_ix.reshape(B, L), match

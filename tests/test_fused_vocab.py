@@ -63,3 +63,44 @@ class TestFusedVocab:
         want = direct(feat, W, bias, targets)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFusedCriterion:
+    def test_nat_dag_loss_fused_matches_dense(self):
+        """The fused-vocab criterion path must match the dense path (same
+        rng, same params) in loss and gradients."""
+        import sys
+        sys.path.insert(0, "tests")
+        from testutils import fast_init
+        from test_models import tiny_dag_cfg
+        from test_train import make_batch
+        from daspeech_tpu.losses import nat_dag_loss
+        from daspeech_tpu.models import S2TConformerDAG
+
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(3)
+        batch = make_batch(rng, cfg)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        key = jax.random.key(5)
+
+        def run(fused):
+            def lossf(params):
+                loss, aux = nat_dag_loss(
+                    model,
+                    {"params": params,
+                     "batch_stats": variables.get("batch_stats", {})},
+                    batch, key, jnp.asarray(0.4), cfg.vocab,
+                    fused_vocab_chunk=8 if fused else None)
+                return loss
+            return jax.value_and_grad(lossf)(variables["params"])
+
+        l_dense, g_dense = run(False)
+        l_fused, g_fused = run(True)
+        np.testing.assert_allclose(float(l_fused), float(l_dense),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_fused)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-3, atol=1e-4)
