@@ -267,7 +267,8 @@ def main(argv=None):
                 training_strategy=args.training_strategy,
                 glance_strategy=glance,
                 no_force_emit=args.no_force_emit,
-                freeze_dag=freeze)
+                freeze_dag=freeze,
+                fused_vocab_chunk=args.fused_vocab_chunk)
         return nat_dag_loss(
             model, params_dict, batch, key, glat_p, vocab,
             glance_strategy=glance, no_force_emit=args.no_force_emit,

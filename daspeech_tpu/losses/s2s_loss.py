@@ -49,21 +49,25 @@ def expected_features(alpha, beta, features):
 
 
 def argmax_path_features(logits, links, tgt_tokens, prev_output_tokens,
-                         features, pad):
+                         features, pad, match_all=None):
     """``argmax``: gather features on the Viterbi path, excluding <bos>
     (``path[:, 0] = -1``), compacted to the left like ``_collate_frames``.
 
-    Returns (feats [B, T-1, D], lengths [B]).
+    Returns (feats [B, T-1, D], lengths [B]). Pass either ``logits`` or a
+    precomputed ``match_all`` [B, T, L] (fused-vocab path).
     """
-    B, L, _ = logits.shape
+    B, L, _ = features.shape
     T = tgt_tokens.shape[1]
     output_length = jnp.sum(prev_output_tokens != pad, axis=1)
     target_length = jnp.sum(tgt_tokens != pad, axis=1)
 
-    match = dag_logsoftmax_gather(
-        jax.lax.stop_gradient(logits),
-        jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
-    match = jnp.swapaxes(match, 1, 2)
+    if match_all is None:
+        match = dag_logsoftmax_gather(
+            jax.lax.stop_gradient(logits),
+            jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+        match = jnp.swapaxes(match, 1, 2)
+    else:
+        match = jax.lax.stop_gradient(match_all)
     path = dag_best_alignment(
         match, jax.lax.stop_gradient(links), output_length, target_length)
     path = path.at[:, 0].set(-1)                           # mask <bos>
@@ -92,6 +96,7 @@ def s2s_dag_fastspeech2_loss(
     no_force_emit: bool = False,
     freeze_dag: bool = False,
     train: bool = True,
+    fused_vocab_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Criterion forward (``S2SDAGFastSpeech2Loss.forward``, ``:94-345``).
 
@@ -109,7 +114,29 @@ def s2s_dag_fastspeech2_loss(
     if "batch_stats" in params:
         variables["batch_stats"] = params["batch_stats"]
 
-    def dag_forward(prev, key):
+    fused = fused_vocab_chunk is not None
+    if fused:
+        from daspeech_tpu.ops.fused_vocab import (
+            fused_logsoftmax_gather, streaming_argmax_and_match)
+
+        dec = params["params"]["dag"]["decoder"]
+        if "embed_tokens" in dec and "output_projection" not in dec:
+            W_vocab = dec["embed_tokens"]["embedding"].T
+        else:
+            W_vocab = dec["output_projection"]["kernel"]
+        b_vocab = jnp.zeros((W_vocab.shape[1],), jnp.float32)
+
+    def dag_forward(prev, key, need_logits=True):
+        if not need_logits:
+            out = model.apply(
+                variables, fbank, src_lengths, prev, train=train,
+                rngs={"dropout": key}, method=model.forward_features,
+                mutable=["batch_stats"] if train else [])
+            if train:
+                (links, feats), updates = out
+            else:
+                (links, feats), updates = out, {}
+            return None, links, feats, updates
         out = model.apply(
             variables, fbank, src_lengths, prev, train=train,
             rngs={"dropout": key}, mutable=["batch_stats"] if train else [])
@@ -120,10 +147,19 @@ def s2s_dag_fastspeech2_loss(
         return logits, links, feats, updates
 
     if glance_strategy is not None:
-        logits1, links1, _, _ = dag_forward(prev_output_tokens, k_dropout)
-        glat_info = glat_glance(
-            k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
-            glat_p, vocab.pad, glance_strategy)
+        logits1, links1, feats1, _ = dag_forward(
+            prev_output_tokens, k_dropout, need_logits=not fused)
+        if fused:
+            pred1, match1 = streaming_argmax_and_match(
+                feats1, W_vocab, b_vocab, tgt_tokens, fused_vocab_chunk)
+            glat_info = glat_glance(
+                k_glat, None, links1, tgt_tokens, prev_output_tokens,
+                glat_p, vocab.pad, glance_strategy,
+                pred_tokens=pred1, match=match1)
+        else:
+            glat_info = glat_glance(
+                k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
+                glat_p, vocab.pad, glance_strategy)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -131,16 +167,23 @@ def s2s_dag_fastspeech2_loss(
         prev2 = prev_output_tokens
         matchmask = keep_mask = None
 
-    logits, links, features, updates = dag_forward(prev2, k_dropout)
+    logits, links, features, updates = dag_forward(
+        prev2, k_dropout, need_logits=not fused)
     if freeze_dag:
-        logits = jax.lax.stop_gradient(logits)
+        logits = None if logits is None else jax.lax.stop_gradient(logits)
         links = jax.lax.stop_gradient(links)
         features = jax.lax.stop_gradient(features)
 
+    match_all = None
+    if fused:
+        W_used = (jax.lax.stop_gradient(W_vocab) if freeze_dag else W_vocab)
+        match_all = fused_logsoftmax_gather(
+            features, W_used, b_vocab, tgt_tokens, fused_vocab_chunk)
     dagloss, metrics, alpha, beta = compute_dag_loss(
         logits, links, tgt_tokens, prev2, vocab.pad,
         matchmask=matchmask, keep_word_mask=keep_mask,
-        no_force_emit=no_force_emit, with_alpha_beta=True)
+        no_force_emit=no_force_emit, with_alpha_beta=True,
+        match_all=match_all)
 
     # ---- FastSpeech 2 over selected hidden states ----
     text_lengths = jnp.sum(tgt_tokens != vocab.pad, axis=1)
@@ -149,7 +192,8 @@ def s2s_dag_fastspeech2_loss(
         z_lengths = text_lengths - 1
     elif training_strategy == "argmax":
         z, z_lengths = argmax_path_features(
-            logits, links, tgt_tokens, prev2, features, vocab.pad)
+            logits, links, tgt_tokens, prev2, features, vocab.pad,
+            match_all=match_all)
     else:
         raise ValueError(training_strategy)
 

@@ -52,6 +52,12 @@ class S2SConformerDAGFastSpeech2(nn.Module):
         enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
         return self.decode(prev_output_tokens, enc, enc_pad, train=train)
 
+    def forward_features(self, fbank, src_lengths, prev_output_tokens,
+                         train: bool = False):
+        """DAG forward without the vocab projection (fused-vocab loss path)."""
+        return self.dag.forward_features(
+            fbank, src_lengths, prev_output_tokens, train=train)
+
     def synthesize(
         self,
         features: jnp.ndarray,               # [B, M, decoder_embed_dim]
