@@ -66,6 +66,8 @@ def parse_args(argv=None):
                    choices=["nat_dag_loss", "s2s_dag_fastspeech2_loss",
                             "fastspeech2"])
     p.add_argument("--max-sentences", type=int, default=64)
+    p.add_argument("--update-freq", type=int, default=1,
+                   help="gradient accumulation over N same-bucket batches")
     p.add_argument("--model-yaml", default=None,
                    help="YAML with the model config tree; default recipe dims")
     p.add_argument("--save-dir", default="checkpoints")
@@ -278,7 +280,8 @@ def main(argv=None):
 
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices.reshape(-1), ("data",))
-    step_fn = jit_data_parallel(make_train_step(loss_fn, tx), mesh)
+    step_fn = jit_data_parallel(
+        make_train_step(loss_fn, tx, accum_steps=args.update_freq), mesh)
 
     logger = JsonProgressLogger(log_interval=args.log_interval)
     agg = MetricsAggregator()
@@ -322,6 +325,7 @@ def main(argv=None):
         nonlocal state, update, epoch
         epoch = max(0, resume_epoch - 1)
         first_skip = resume_batch
+        accum = {}   # per-bucket microbatch buffers for --update-freq
         while update < args.max_update:
             epoch += 1
             batch_idx = -1
@@ -329,6 +333,15 @@ def main(argv=None):
                 batch_idx += 1
                 if epoch == resume_epoch and batch_idx < first_skip:
                     continue     # fast-forward to the saved iterator position
+                if args.update_freq > 1:
+                    # accumulate same-shape batches into a microbatch axis
+                    buf = accum.setdefault(spec, [])
+                    buf.append(batch)
+                    if len(buf) < args.update_freq:
+                        continue
+                    batch = {k: np.stack([b[k] for b in buf])
+                             for k in buf[0]}
+                    accum[spec] = []
                 jb = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "sample_mask"}
                 if args.profile_dir and update == 5:
