@@ -118,3 +118,88 @@ class TestLearnability:
             correct += hyp == want
         # the mapping is trivial; at least 6/8 must decode exactly
         assert correct >= 6, (correct, losses[-1])
+
+
+@pytest.mark.slow
+class TestJointLearnability:
+    def test_s2s_joint_training_learns(self):
+        """The expect-strategy joint criterion must reduce both the DAG and
+        TTS losses on a synthetic fbank->phoneme->mel task."""
+        from daspeech_tpu.core.config import (
+            FastSpeech2Config, S2SModelConfig)
+        from daspeech_tpu.losses import s2s_dag_fastspeech2_loss
+        from daspeech_tpu.models import S2SConformerDAGFastSpeech2
+
+        vocab = VocabConfig(size=16)
+        cfg = S2SModelConfig(
+            dag=DAGModelConfig(
+                vocab=vocab,
+                encoder=ConformerConfig(
+                    embed_dim=32, ffn_dim=64, num_layers=2, num_heads=2,
+                    conv_channels=32, depthwise_kernel_size=7, dropout=0.0,
+                    attn_dropout=0.0),
+                decoder=DAGDecoderConfig(
+                    embed_dim=32, ffn_dim=64, num_layers=2, num_heads=2,
+                    dropout=0.0, attn_dropout=0.0, activation_dropout=0.0,
+                    max_target_positions=64)),
+            tts=FastSpeech2Config(
+                encoder_layers=1, encoder_embed_dim=32, encoder_heads=2,
+                decoder_layers=1, decoder_embed_dim=32, decoder_heads=2,
+                fft_hidden_dim=64, var_pred_hidden_dim=16,
+                var_pred_n_bins=8, dropout=0.0, attention_dropout=0.0,
+                var_pred_dropout=0.0),
+            adaptor_ffn_dim=64, adaptor_dropout=0.0)
+        model = S2SConformerDAGFastSpeech2(cfg)
+        rng = np.random.default_rng(0)
+        n_ph, B, L, DUR = 4, 16, 16, 4
+        T = n_ph + 2
+        M = (T - 1) * DUR
+
+        def s2s_batch():
+            fb, sl, tg = synth_batch(rng, vocab, B, n_ph)
+            mel = np.zeros((B, M, 80), np.float32)
+            toks = tg[:, 1:]
+            for b in range(B):
+                for i in range(T - 1):
+                    t = toks[b, i]
+                    mel[b, i * DUR:(i + 1) * DUR,
+                        (t % 16) * 5:(t % 16) * 5 + 5] = 1.0
+            return {
+                "fbank": jnp.asarray(fb), "src_lengths": jnp.asarray(sl),
+                "target_text": jnp.asarray(tg),
+                "prev_output_tokens": initialize_output_tokens(
+                    graph_lengths(jnp.asarray(sl), 0.5, 64), L, vocab),
+                "target_audio": jnp.asarray(mel),
+                "target_audio_lengths": jnp.full((B,), M, jnp.int32),
+                "durations": jnp.full((B, T - 1), DUR, jnp.int32),
+                "pitches": jnp.zeros((B, T - 1), jnp.float32),
+                "energies": jnp.zeros((B, T - 1), jnp.float32),
+            }
+
+        b0 = s2s_batch()
+
+        def full(m):
+            _, _, feats = m(b0["fbank"], b0["src_lengths"],
+                            b0["prev_output_tokens"])
+            return m.synthesize(feats, jnp.zeros((B, L), bool), M)
+
+        variables = fast_init(model, jax.random.key(0), method=full)
+        tx = make_optimizer(lr=2e-3, warmup_updates=20, clip_norm=1.0,
+                            weight_decay=0.0)
+        state = TrainState.create(variables, tx)
+
+        def loss_fn(pd, b, key, step):
+            return s2s_dag_fastspeech2_loss(
+                model, pd, b, key, jnp.asarray(0.5), vocab,
+                tts_loss_weight=5.0, training_strategy="expect")
+
+        step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=0)
+        key = jax.random.key(1)
+        first = None
+        for i in range(200):
+            state, m = step(state, s2s_batch(), key)
+            if first is None:
+                first = (float(m["dag-loss"]), float(m["tts-loss"]))
+        last = (float(m["dag-loss"]), float(m["tts-loss"]))
+        assert last[0] < first[0] * 0.6, (first, last)
+        assert last[1] < first[1] * 0.5, (first, last)
