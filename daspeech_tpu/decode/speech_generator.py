@@ -68,3 +68,52 @@ class NonAutoregressiveSpeechGenerator:
                     wav)[b, : out_lens[b] * self.hop]
             out.append(hypo)
         return out
+
+
+class AutoRegressiveSpeechGenerator:
+    """AR mel generation with the ``generate_waveform`` flag
+    (``speech_generator_modified.py:14-95``): scan-based frame-by-frame
+    decoding with stop prediction, gcmvn denorm, optional vocoder."""
+
+    def __init__(self, model, vocab, max_mel_len: int = 1024,
+                 vocoder=None, vocoder_params=None, gcmvn=None,
+                 stop_threshold: float = 0.5, hop: int = 256):
+        self.model = model
+        self.vocab = vocab
+        self.max_mel_len = max_mel_len
+        self.vocoder = vocoder
+        self.vocoder_params = vocoder_params
+        self.gcmvn = gcmvn
+        self.stop_threshold = stop_threshold
+        self.hop = hop
+        self._fn = None
+
+    def _build(self):
+        model, M, thr = self.model, self.max_mel_len, self.stop_threshold
+        voc, vparams = self.vocoder, self.vocoder_params
+
+        @jax.jit
+        def run(params, src_tokens):
+            mel, lens = model.apply(
+                params, src_tokens, M, thr, method=model.generate)
+            wav = voc.apply(vparams, mel) if voc is not None else None
+            return mel, lens, wav
+
+        return run
+
+    def generate(self, params, batch, generate_waveform: bool = True):
+        if self._fn is None:
+            self._fn = self._build()
+        mel, lens, wav = self._fn(params, batch["src_tokens"])
+        mel = np.asarray(mel)
+        lens = np.asarray(lens)
+        out = []
+        for b in range(mel.shape[0]):
+            m = mel[b, : lens[b]]
+            if self.gcmvn is not None:
+                m = self.gcmvn.denormalize(m)
+            hypo = {"feature": m}
+            if wav is not None and generate_waveform:
+                hypo["waveform"] = np.asarray(wav)[b, : lens[b] * self.hop]
+            out.append(hypo)
+        return out

@@ -51,3 +51,43 @@ def fastspeech2_criterion(
         src_mask, mel_mask)
     metrics["loss"] = loss
     return loss, {"metrics": metrics, "batch_stats": None}
+
+
+def tts_transformer_criterion(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    vocab,
+    stop_weight: float = 1.0,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """AR Transformer-TTS training loss (fairseq ``tacotron2`` criterion
+    shape): teacher-forced L1 mel + BCE stop prediction."""
+    tokens = batch["src_tokens"]
+    mel_tgt = batch["target_audio"]
+    lens = batch["target_audio_lengths"]
+    B, M, D = mel_tgt.shape
+
+    go = jnp.zeros((B, 1, D), mel_tgt.dtype)
+    prev = jnp.concatenate([go, mel_tgt[:, :-1]], axis=1)
+    mel, stop = model.apply({"params": params["params"]}, tokens, prev,
+                            train=train, rngs={"dropout": rng})
+
+    valid = ~lengths_to_padding_mask(lens, M)
+    l1 = jnp.sum(jnp.abs(mel - mel_tgt) * valid[:, :, None]) / jnp.maximum(
+        jnp.sum(valid) * D, 1)
+    stop_tgt = (jnp.arange(M)[None, :] == (lens - 1)[:, None]).astype(
+        jnp.float32)
+    bce = optax_sigmoid_bce(stop, stop_tgt)
+    stop_loss = jnp.sum(bce * valid) / jnp.maximum(jnp.sum(valid), 1)
+    loss = l1 + stop_weight * stop_loss
+    return loss, {"metrics": {"loss": loss, "l1-loss": l1,
+                              "stop-loss": stop_loss},
+                  "batch_stats": None}
+
+
+def optax_sigmoid_bce(logits, targets):
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(targets * log_p + (1.0 - targets) * log_not_p)

@@ -93,6 +93,7 @@ class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    causal: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -124,6 +125,11 @@ class MultiHeadAttention(nn.Module):
             all_masked = jnp.all(key_padding_mask, axis=-1)
             kpm = key_padding_mask & ~all_masked[:, None]
             scores = jnp.where(kpm[:, None, None, :], -jnp.inf, scores)
+        if self.causal:
+            Tq, Tk = query.shape[1], key.shape[1]
+            causal_mask = (jnp.arange(Tk)[None, :]
+                           > jnp.arange(Tq)[:, None])          # [Tq, Tk]
+            scores = jnp.where(causal_mask[None, None], -jnp.inf, scores)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
