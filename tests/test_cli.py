@@ -254,3 +254,51 @@ class TestResume:
         recs = [json.loads(x) for x in out.out.strip().splitlines()]
         final = [r for r in recs if r.get("done")][0]
         assert final["update"] == 4
+
+
+class TestEvalPipeline:
+    def test_five_stage_pipeline(self, tmp_path, capsys):
+        """generate (averaged ckpt) -> wav naming -> ASR gate (cache-less
+        host reports gracefully)."""
+        rng = np.random.default_rng(5)
+        d, rows, _ = make_dataset(tmp_path, rng, n=4, s2s=True)
+        for split in ("train", "test"):
+            with open(tmp_path / f"{split}.tsv", "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rows[0].keys()),
+                                   delimiter="\t")
+                w.writeheader()
+                for r in rows:
+                    w.writerow(r)
+        d.save(tmp_path / "vocab.txt")
+        (tmp_path / "s2s.yaml").write_text(yaml.safe_dump(TINY_S2S))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_speech",
+            "--criterion", "s2s_dag_fastspeech2_loss",
+            "--model-yaml", str(tmp_path / "s2s.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-tokens", "512", "--num-buckets", "1",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--max-source-positions", "100", "--max-target-positions", "16",
+            "--save-interval-updates", "1", "--valid-subset", "missing"])
+        assert rc == 0
+        capsys.readouterr()
+
+        from daspeech_tpu.cli.eval_pipeline import main as eval_main
+
+        rc = eval_main([
+            str(tmp_path), "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--gen-subset", "test",
+            "--results-path", str(tmp_path / "results"),
+            "--model-yaml", str(tmp_path / "s2s.yaml"),
+            "--max-tokens", "512", "--max-mel-len", "32",
+            "--average-last-n", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        rec = json.loads(out[-1])
+        assert rec["results"].endswith("results")
+        # decoded features exist for every utterance
+        feats = list((tmp_path / "results" / "feat").glob("*.npy"))
+        assert len(feats) == 4
