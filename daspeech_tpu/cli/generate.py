@@ -160,11 +160,16 @@ def main(argv=None):
             vstate = vck.restore()
             vocoder_params = vstate["gen_params"]
 
+    # --gcmvn-stats flag, falling back to config.yaml's global_cmvn stats
+    # (``data_cfg.py:179-182``)
+    gcmvn_path = args.gcmvn_stats
+    if gcmvn_path is None and task.data_cfg is not None:
+        gcmvn_path = task.data_cfg.global_cmvn_stats_npz
     gcmvn = None
-    if args.gcmvn_stats:
+    if gcmvn_path:
         from daspeech_tpu.data.transforms import GlobalCMVN
 
-        gcmvn = GlobalCMVN(stats_npz_path=args.gcmvn_stats)
+        gcmvn = GlobalCMVN(stats_npz_path=gcmvn_path)
 
     decode_cfg = DecodeConfig(
         strategy=args.decode_strategy, beta=args.decode_beta,

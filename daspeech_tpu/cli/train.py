@@ -78,6 +78,12 @@ def parse_args(argv=None):
     p.add_argument("--warmup-init-lr", type=float, default=1e-7)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument("--noise", default="full_mask",
+                   choices=["full_mask", "random_mask", "random_delete",
+                            "no_noise"],
+                   help="prev-target corruption for CMLM-style NAT models "
+                        "(``nat_speech_to_text.py:138-219``; the DAG "
+                        "criterion builds its own graph input)")
     p.add_argument("--glat-p", default="0.5:0.1@100k")
     p.add_argument("--glance-strategy", default="number-random")
     p.add_argument("--no-force-emit", action="store_true")
@@ -148,7 +154,7 @@ def main(argv=None):
                     args.task, NATSpeechToTextTask)
     task = task_cls.setup_task(TaskConfig(
         data_dir=args.data, max_tokens=args.max_tokens,
-        num_buckets=args.num_buckets,
+        num_buckets=args.num_buckets, noise=args.noise,
         max_source_positions=args.max_source_positions,
         max_target_positions=args.max_target_positions))
     task.load_dataset(args.train_subset, upsample_scale=args.src_upsample_scale)
@@ -262,7 +268,10 @@ def main(argv=None):
             return fastspeech2_criterion(model, params_dict, batch, key, vocab)
         glat_p = anneal_value(glat_sched, step)
         if is_s2s:
-            freeze = args.dag_freezing_steps > 0
+            # frozen while update_num <= dag_freezing_steps — traced on the
+            # step, matching ``s2s_dag_fastspeech2_loss.py:195``
+            freeze = (step <= args.dag_freezing_steps
+                      if args.dag_freezing_steps > 0 else False)
             return s2s_dag_fastspeech2_loss(
                 model, params_dict, batch, key, glat_p, vocab,
                 tts_loss_weight=args.tts_loss_weight,
@@ -281,7 +290,8 @@ def main(argv=None):
     devices = np.asarray(jax.devices())
     mesh = Mesh(devices.reshape(-1), ("data",))
     step_fn = jit_data_parallel(
-        make_train_step(loss_fn, tx, accum_steps=args.update_freq), mesh)
+        make_train_step(loss_fn, tx, accum_steps=args.update_freq), mesh,
+        batch_dim=1 if args.update_freq > 1 else 0)
 
     logger = JsonProgressLogger(log_interval=args.log_interval)
     agg = MetricsAggregator()
@@ -315,11 +325,70 @@ def main(argv=None):
                 refs.append(vit.dataset._tgt_text(int(local)))
         return corpus_bleu(hyps, refs)
 
+    # validation loss for the TTS and joint-S2S stages: the reference
+    # validates every task and selects checkpoint_best on valid loss
+    # (``fairseq_cli/train.py:375-448``, ``trainer.py:1131-1191``)
+    def eval_loss_fn(params_dict, batch, key):
+        if is_tts:
+            return fastspeech2_criterion(
+                model, params_dict, batch, key, vocab, train=False)
+        return s2s_dag_fastspeech2_loss(
+            model, params_dict, batch, key, jnp.asarray(0.0), vocab,
+            tts_loss_weight=args.tts_loss_weight,
+            training_strategy=args.training_strategy,
+            glance_strategy=None, no_force_emit=args.no_force_emit,
+            train=False, fused_vocab_chunk=args.fused_vocab_chunk)
+
+    uses_valid_loss = has_valid and (is_s2s or is_tts)
+    eval_step = (jax.jit(
+        lambda pd, b, key: eval_loss_fn(pd, b, key)[1]["metrics"])
+        if uses_valid_loss else None)
+
+    def validate_loss(cur_state):
+        """Mean per-sentence valid loss, sample_mask-weighted."""
+        if not uses_valid_loss:
+            return None
+        if is_tts:
+            vit = task.get_batch_iterator(
+                args.valid_subset, max_sentences=args.max_sentences,
+                seed=args.seed)
+        else:
+            vit = task.get_batch_iterator(
+                args.valid_subset, seed=args.seed,
+                upsample_scale=args.src_upsample_scale)
+        params_d = {"params": cur_state.params}
+        if cur_state.batch_stats:
+            params_d["batch_stats"] = cur_state.batch_stats
+        total, n = 0.0, 0
+        for spec, idxs in vit.batches_for_epoch(0):
+            b = vit.collate(spec, idxs)
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            m = eval_step(params_d, jb, jax.random.key(args.seed))
+            ns = int(m.get("nsentences", len(idxs)))
+            total += float(m["loss"]) * ns
+            n += ns
+        return total / max(n, 1)
+
     update = int(state.step)
     epoch = 0
     t_start = time.perf_counter()
 
     from daspeech_tpu.data.prefetch import prefetch_epoch
+
+    pending = []   # device-side metrics awaiting a host fetch
+
+    def flush_metrics():
+        """Fetch the pending device metrics in one host sync. Deferring the
+        float() to the log boundary keeps XLA dispatch asynchronous — the
+        values are already resolved by the time they are read (the reference
+        pays this per-step via fast-stat-sync; here it costs one sync per
+        log_interval)."""
+        for m in pending:
+            for k, v in m.items():
+                agg.log_scalar(k, float(v))
+            agg.log_speed("ups")
+        pending.clear()
+        return agg.get_smoothed_values()
 
     def loop():
         nonlocal state, update, epoch
@@ -342,32 +411,44 @@ def main(argv=None):
                     batch = {k: np.stack([b[k] for b in buf])
                              for k in buf[0]}
                     accum[spec] = []
-                jb = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k != "sample_mask"}
+                jb = {k: jnp.asarray(v) for k, v in batch.items()}
                 if args.profile_dir and update == 5:
                     jax.profiler.start_trace(args.profile_dir)
                 if args.profile_dir and update == 15:
                     jax.profiler.stop_trace()
                 state, metrics = step_fn(state, jb, rng)
-                update = int(state.step)
-                for k, v in metrics.items():
-                    agg.log_scalar(k, float(v))
-                agg.log_speed("ups")
-                stats = agg.get_smoothed_values()
+                update += 1          # step_fn bumps state.step by exactly 1
+                pending.append(metrics)
+
+                need_log = update % args.log_interval == 0
+                need_validate = (
+                    (generator is not None or uses_valid_loss)
+                    and update % args.validate_interval_updates == 0)
+                need_save = update % args.save_interval_updates == 0
+                done = update >= args.max_update
+                if not (need_log or need_validate or need_save or done):
+                    continue
+                stats = flush_metrics()
                 logger.log(stats, update, epoch)
                 metric = stats.get("loss")
-                if (generator is not None
-                        and update % args.validate_interval_updates == 0):
-                    bleu = validate(state)
-                    if bleu is not None:
-                        logger.print({"valid_bleu": round(bleu, 2)},
-                                     update, epoch)
-                        metric = bleu
-                if update % args.save_interval_updates == 0:
+                if need_validate:
+                    if generator is not None:
+                        bleu = validate(state)
+                        if bleu is not None:
+                            logger.print({"valid_bleu": round(bleu, 2)},
+                                         update, epoch)
+                            metric = bleu
+                    else:
+                        vloss = validate_loss(state)
+                        if vloss is not None:
+                            logger.print({"valid_loss": round(vloss, 4)},
+                                         update, epoch)
+                            metric = vloss
+                if need_save:
                     ckpt.save(state, update, metric=metric,
                               extra={"epoch": epoch,
                                      "batch_idx": batch_idx + 1})
-                if update >= args.max_update:
+                if done:
                     return
 
     try:
@@ -384,7 +465,7 @@ def main(argv=None):
     ckpt.save(state, update)
     wall = time.perf_counter() - t_start
     logger.print({"done": True, "wall_s": round(wall, 1),
-                  **agg.get_smoothed_values()}, update, epoch)
+                  **flush_metrics()}, update, epoch)
     return 0
 
 

@@ -12,6 +12,7 @@ from daspeech_tpu.data.datasets import (
     load_tsv,
     make_buckets,
 )
+from daspeech_tpu.data.data_cfg import S2SDataConfig, S2TDataConfig
 from daspeech_tpu.data.dictionary import Dictionary
 from daspeech_tpu.data.transforms import (
     Compose,
@@ -32,6 +33,8 @@ __all__ = [
     "load_tsv",
     "make_buckets",
     "Dictionary",
+    "S2SDataConfig",
+    "S2TDataConfig",
     "Compose",
     "GlobalCMVN",
     "SpecAugment",

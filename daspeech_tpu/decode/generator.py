@@ -105,6 +105,11 @@ class S2SNATGenerator(S2TNATGenerator):
         voc = self.vocoder
         vparams = self.vocoder_params
         d_factor = self.d_factor
+        # the vocoder was trained on raw (unnormalized) mels: gcmvn
+        # denormalization must happen BEFORE vocoding, inside the jit
+        # (``s2s_nat_generator.py:242-285`` denormalizes then get_waveform)
+        gstats = (None if self.gcmvn is None else
+                  (jnp.asarray(self.gcmvn.mean), jnp.asarray(self.gcmvn.std)))
 
         @jax.jit
         def run(params, fbank, src_lengths, prev):
@@ -127,7 +132,9 @@ class S2SNATGenerator(S2TNATGenerator):
             mel_final = mel_post if mel_post is not None else mel
             wav = None
             if voc is not None:
-                wav = voc.apply(vparams, mel_final)
+                mel_voc = (mel_final if gstats is None
+                           else mel_final * gstats[1] + gstats[0])
+                wav = voc.apply(vparams, mel_voc)
             return res, mel_final, mel_lens, wav
 
         return run

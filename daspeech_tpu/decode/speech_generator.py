@@ -38,6 +38,10 @@ class NonAutoregressiveSpeechGenerator:
     def _build(self):
         model, M, d_factor = self.model, self.max_mel_len, self.d_factor
         voc, vparams = self.vocoder, self.vocoder_params
+        # vocoder input must be gcmvn-DEnormalized (raw-mel domain), as in
+        # ``speech_generator.py``'s gcmvn_denormalize -> get_waveform order
+        gstats = (None if self.gcmvn is None else
+                  (jnp.asarray(self.gcmvn.mean), jnp.asarray(self.gcmvn.std)))
 
         @jax.jit
         def run(params, src_tokens):
@@ -45,7 +49,11 @@ class NonAutoregressiveSpeechGenerator:
                 params, src_tokens=src_tokens, max_out_len=M,
                 d_factor=d_factor)
             mel_final = mel_post if mel_post is not None else mel
-            wav = voc.apply(vparams, mel_final) if voc is not None else None
+            wav = None
+            if voc is not None:
+                mel_voc = (mel_final if gstats is None
+                           else mel_final * gstats[1] + gstats[0])
+                wav = voc.apply(vparams, mel_voc)
             return mel_final, out_lens, wav
 
         return run
@@ -91,12 +99,18 @@ class AutoRegressiveSpeechGenerator:
     def _build(self):
         model, M, thr = self.model, self.max_mel_len, self.stop_threshold
         voc, vparams = self.vocoder, self.vocoder_params
+        gstats = (None if self.gcmvn is None else
+                  (jnp.asarray(self.gcmvn.mean), jnp.asarray(self.gcmvn.std)))
 
         @jax.jit
         def run(params, src_tokens):
             mel, lens = model.apply(
                 params, src_tokens, M, thr, method=model.generate)
-            wav = voc.apply(vparams, mel) if voc is not None else None
+            wav = None
+            if voc is not None:
+                mel_voc = (mel if gstats is None
+                           else mel * gstats[1] + gstats[0])
+                wav = voc.apply(vparams, mel_voc)
             return mel, lens, wav
 
         return run

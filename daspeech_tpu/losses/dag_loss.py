@@ -44,6 +44,7 @@ def glat_glance(
     strategy: Optional[str] = "number-random",
     pred_tokens: Optional[jnp.ndarray] = None,   # [B, L] (fused path)
     match: Optional[jnp.ndarray] = None,         # [B, T, L] (fused path)
+    sample_mask: Optional[jnp.ndarray] = None,   # [B] 1=real, 0=filler
 ) -> GlatInfo:
     """The ``glat_function`` (``nat_dag_loss.py:202-264``): Viterbi-align the
     graph to the reference, count mispredictions, and replace a subset of
@@ -106,12 +107,16 @@ def glat_glance(
         jax.random.uniform(k_keep, (B, L)) < keep_prob)
     glat_prev = jnp.where(keep_word_mask, oracle, prev_output_tokens)
 
+    smask = (jnp.ones((B,), jnp.float32) if sample_mask is None
+             else sample_mask.astype(jnp.float32))
     return GlatInfo(
         prev_output_tokens=glat_prev,
         matchmask=matchmask,
         keep_word_mask=keep_word_mask,
-        glat_accu=jnp.sum(same_num) / jnp.maximum(jnp.sum(target_length), 1),
-        glat_keep=jnp.mean(keep_prob),
+        glat_accu=(jnp.sum(same_num * smask)
+                   / jnp.maximum(jnp.sum(target_length * smask), 1)),
+        glat_keep=(jnp.sum(keep_prob * smask[:, None])
+                   / jnp.maximum(jnp.sum(smask) * L, 1.0)),
     )
 
 
@@ -142,14 +147,22 @@ def compute_dag_loss(
     no_force_emit: bool = False,
     with_alpha_beta: bool = False,
     match_all: Optional[jnp.ndarray] = None,   # [B, T, L] precomputed
+    sample_mask: Optional[jnp.ndarray] = None,  # [B] 1=real, 0=bucket filler
 ):
     """``_compute_dag_loss`` (``nat_dag_loss.py:116-162``): returns
     (loss, metrics[, alpha, beta]). Non-finite sentences (unsatisfiable
-    graphs) are masked out of the mean instead of crashing."""
+    graphs) are masked out of the mean instead of crashing.
+
+    ``sample_mask`` carries zero weight for the duplicate items
+    ``BucketBatcher.collate`` uses to fill short batches, matching the
+    reference's true-sample_size weighting (``fairseq/trainer.py:932-953``).
+    """
     B, L = prev_output_tokens.shape
     T = tgt_tokens.shape[1]
     output_length = jnp.sum(prev_output_tokens != pad, axis=1)
     target_length = jnp.sum(tgt_tokens != pad, axis=1)
+    smask = (jnp.ones((B,), jnp.float32) if sample_mask is None
+             else sample_mask.astype(jnp.float32))
 
     if match_all is None:
         match = dag_logsoftmax_gather(
@@ -169,14 +182,15 @@ def compute_dag_loss(
     invalid = ~jnp.isfinite(logprob)
     safe_logprob = jnp.where(invalid, 0.0, logprob)
     per_sent = safe_logprob / jnp.maximum(target_length, 1)
-    loss = -jnp.mean(per_sent)
+    loss = -jnp.sum(per_sent * smask) / jnp.maximum(jnp.sum(smask), 1.0)
 
     metrics = {
         "dag-loss": loss,
-        "invalid_nsentences": jnp.sum(invalid.astype(jnp.int32)),
-        "nsentences": jnp.asarray(B, jnp.int32),
-        "ntokens": jnp.sum(target_length),
-        "nvalidtokens": jnp.sum(output_length),
+        "invalid_nsentences": jnp.sum(invalid.astype(jnp.float32) * smask
+                                      ).astype(jnp.int32),
+        "nsentences": jnp.sum(smask).astype(jnp.int32),
+        "ntokens": jnp.sum(target_length * smask).astype(jnp.int32),
+        "nvalidtokens": jnp.sum(output_length * smask).astype(jnp.int32),
     }
     if with_alpha_beta:
         return loss, metrics, alpha, beta
@@ -209,6 +223,7 @@ def nat_dag_loss(
     fbank, src_lengths = batch["fbank"], batch["src_lengths"]
     tgt_tokens = batch["target"]
     prev_output_tokens = batch["prev_output_tokens"]
+    sample_mask = batch.get("sample_mask")
 
     k_dropout, k_glat = jax.random.split(rng)
     rngs = {"dropout": k_dropout}
@@ -220,7 +235,7 @@ def nat_dag_loss(
     def forward(prev):
         out = model.apply(
             enc_vars, fbank, src_lengths, prev, train=train,
-            rngs=rngs, mutable=["batch_stats"] if train else [])
+            rngs=rngs, mutable=["batch_stats"] if train else False)
         if train:
             (logits, links, feats), updates = out
         else:
@@ -232,7 +247,7 @@ def nat_dag_loss(
         out = model.apply(
             enc_vars, fbank, src_lengths, prev, train=train,
             rngs=rngs, method=model.forward_features,
-            mutable=["batch_stats"] if train else [])
+            mutable=["batch_stats"] if train else False)
         if train:
             (links, feats), updates = out
         else:
@@ -268,12 +283,12 @@ def nat_dag_loss(
             glat_info = glat_glance(
                 k_glat, None, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy,
-                pred_tokens=pred1, match=match1)
+                pred_tokens=pred1, match=match1, sample_mask=sample_mask)
         else:
             logits1, links1, _, _ = forward(prev_output_tokens)
             glat_info = glat_glance(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
-                glat_p, vocab.pad, glance_strategy)
+                glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -287,13 +302,14 @@ def nat_dag_loss(
         loss, metrics = compute_dag_loss(
             None, links, tgt_tokens, prev2, vocab.pad,
             matchmask=matchmask, keep_word_mask=keep_mask,
-            no_force_emit=no_force_emit, match_all=match_all)
+            no_force_emit=no_force_emit, match_all=match_all,
+            sample_mask=sample_mask)
     else:
         logits, links, feats, updates = forward(prev2)
         loss, metrics = compute_dag_loss(
             logits, links, tgt_tokens, prev2, vocab.pad,
             matchmask=matchmask, keep_word_mask=keep_mask,
-            no_force_emit=no_force_emit)
+            no_force_emit=no_force_emit, sample_mask=sample_mask)
 
     metrics["loss"] = loss
     if glat_info is not None:

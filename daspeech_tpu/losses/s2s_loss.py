@@ -28,6 +28,20 @@ from daspeech_tpu.models.layers import lengths_to_padding_mask
 from daspeech_tpu.ops import dag_best_alignment, dag_logsoftmax_gather
 
 
+def conditional_stop_gradient(x, frozen):
+    """Stop gradients through ``x`` when ``frozen`` — which may be a traced
+    bool scalar (e.g. ``step <= dag_freezing_steps``), matching the
+    reference's ``torch.set_grad_enabled(update_num > dag_freezing_steps)``
+    (``s2s_dag_fastspeech2_loss.py:195``). Values are unchanged either way;
+    the cotangent is gated by the ``where``."""
+    if x is None:
+        return None
+    sg = jax.lax.stop_gradient(x)
+    if isinstance(frozen, bool):
+        return sg if frozen else x
+    return jnp.where(frozen, sg, x)
+
+
 def _logsumexp_last(x):
     m = jnp.max(x, axis=-1, keepdims=True)
     m = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -94,7 +108,7 @@ def s2s_dag_fastspeech2_loss(
     training_strategy: str = "expect",
     glance_strategy: Optional[str] = "number-random",
     no_force_emit: bool = False,
-    freeze_dag: bool = False,
+    freeze_dag=False,   # bool OR traced bool scalar (step <= freezing_steps)
     train: bool = True,
     fused_vocab_chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
@@ -107,6 +121,7 @@ def s2s_dag_fastspeech2_loss(
     fbank, src_lengths = batch["fbank"], batch["src_lengths"]
     tgt_tokens = batch["target_text"]
     prev_output_tokens = batch["prev_output_tokens"]
+    sample_mask = batch.get("sample_mask")
 
     k_dropout, k_glat, k_tts = jax.random.split(rng, 3)
 
@@ -131,7 +146,7 @@ def s2s_dag_fastspeech2_loss(
             out = model.apply(
                 variables, fbank, src_lengths, prev, train=train,
                 rngs={"dropout": key}, method=model.forward_features,
-                mutable=["batch_stats"] if train else [])
+                mutable=["batch_stats"] if train else False)
             if train:
                 (links, feats), updates = out
             else:
@@ -139,7 +154,7 @@ def s2s_dag_fastspeech2_loss(
             return None, links, feats, updates
         out = model.apply(
             variables, fbank, src_lengths, prev, train=train,
-            rngs={"dropout": key}, mutable=["batch_stats"] if train else [])
+            rngs={"dropout": key}, mutable=["batch_stats"] if train else False)
         if train:
             (logits, links, feats), updates = out
         else:
@@ -155,11 +170,11 @@ def s2s_dag_fastspeech2_loss(
             glat_info = glat_glance(
                 k_glat, None, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy,
-                pred_tokens=pred1, match=match1)
+                pred_tokens=pred1, match=match1, sample_mask=sample_mask)
         else:
             glat_info = glat_glance(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
-                glat_p, vocab.pad, glance_strategy)
+                glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -169,21 +184,22 @@ def s2s_dag_fastspeech2_loss(
 
     logits, links, features, updates = dag_forward(
         prev2, k_dropout, need_logits=not fused)
-    if freeze_dag:
-        logits = None if logits is None else jax.lax.stop_gradient(logits)
-        links = jax.lax.stop_gradient(links)
-        features = jax.lax.stop_gradient(features)
+    if freeze_dag is not False:
+        logits = conditional_stop_gradient(logits, freeze_dag)
+        links = conditional_stop_gradient(links, freeze_dag)
+        features = conditional_stop_gradient(features, freeze_dag)
 
     match_all = None
     if fused:
-        W_used = (jax.lax.stop_gradient(W_vocab) if freeze_dag else W_vocab)
+        W_used = (conditional_stop_gradient(W_vocab, freeze_dag)
+                  if freeze_dag is not False else W_vocab)
         match_all = fused_logsoftmax_gather(
             features, W_used, b_vocab, tgt_tokens, fused_vocab_chunk)
     dagloss, metrics, alpha, beta = compute_dag_loss(
         logits, links, tgt_tokens, prev2, vocab.pad,
         matchmask=matchmask, keep_word_mask=keep_mask,
         no_force_emit=no_force_emit, with_alpha_beta=True,
-        match_all=match_all)
+        match_all=match_all, sample_mask=sample_mask)
 
     # ---- FastSpeech 2 over selected hidden states ----
     text_lengths = jnp.sum(tgt_tokens != vocab.pad, axis=1)
@@ -213,6 +229,10 @@ def s2s_dag_fastspeech2_loss(
 
     src_mask = ~z_pad_mask
     mel_mask = ~lengths_to_padding_mask(batch["target_audio_lengths"], M)
+    if sample_mask is not None:
+        real = sample_mask.astype(bool)
+        src_mask = src_mask & real[:, None]
+        mel_mask = mel_mask & real[:, None]
     tts_loss, tts_metrics = fastspeech2_losses(
         mel, mel_post, log_dur_out, pitch_out, energy_out,
         mel_tgt, batch["durations"][:, : z.shape[1]],

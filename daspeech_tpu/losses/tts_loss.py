@@ -45,6 +45,10 @@ def fastspeech2_criterion(
 
     src_mask = tokens != vocab.pad
     mel_mask = ~lengths_to_padding_mask(batch["target_audio_lengths"], M)
+    if "sample_mask" in batch:
+        real = batch["sample_mask"].astype(bool)   # 0 = bucket-fill duplicate
+        src_mask = src_mask & real[:, None]
+        mel_mask = mel_mask & real[:, None]
     loss, metrics = fastspeech2_losses(
         mel, mel_post, log_dur, pitch_out, energy_out,
         mel_tgt, batch["durations"], batch["pitches"], batch["energies"],
@@ -75,6 +79,8 @@ def tts_transformer_criterion(
                             train=train, rngs={"dropout": rng})
 
     valid = ~lengths_to_padding_mask(lens, M)
+    if "sample_mask" in batch:
+        valid = valid & batch["sample_mask"].astype(bool)[:, None]
     l1 = jnp.sum(jnp.abs(mel - mel_tgt) * valid[:, :, None]) / jnp.maximum(
         jnp.sum(valid) * D, 1)
     stop_tgt = (jnp.arange(M)[None, :] == (lens - 1)[:, None]).astype(

@@ -215,3 +215,30 @@ def write_tsv(rows: Sequence[Dict[str, str]], path) -> None:
         w.writeheader()
         for r in rows:
             w.writerow(r)
+
+
+def write_config_yaml(
+    data_dir,
+    vocab_filename: str = "vocab.txt",
+    gcmvn_stats: str = "gcmvn_stats.npz",
+    specaugment: bool = True,
+    vocoder: Dict[str, str] = None,
+) -> None:
+    """Emit the per-dataset config.yaml the tasks consume (the CVSS recipe's
+    gen_config_yaml: utterance_cmvn everywhere + SpecAugment on train —
+    ``fairseq/examples/speech_to_text/data_utils.py`` gen_config_yaml)."""
+    import yaml
+
+    train = ["utterance_cmvn"] + (["specaugment"] if specaugment else [])
+    cfg = {
+        "vocab_filename": vocab_filename,
+        "transforms": {"_train": train, "*": ["utterance_cmvn"]},
+        "specaugment": {"freq_mask_N": 2, "freq_mask_F": 27,
+                        "time_mask_N": 2, "time_mask_T": 100,
+                        "time_mask_p": 1.0},
+    }
+    if gcmvn_stats:
+        cfg["global_cmvn"] = {"stats_npz_path": gcmvn_stats}
+    if vocoder:
+        cfg["vocoder"] = dict(vocoder)
+    (Path(data_dir) / "config.yaml").write_text(yaml.safe_dump(cfg))

@@ -76,6 +76,7 @@ def inject_noise(
 class TaskConfig:
     data_dir: str = ""
     vocab_filename: str = "vocab.txt"
+    config_yaml: str = "config.yaml"   # per-dataset data config (data_cfg.py)
     noise: str = "full_mask"
     max_source_positions: int = 6000
     max_target_positions: int = 1024
@@ -90,16 +91,28 @@ class NATSpeechToTextTask:
     dataset_cls = NATSpeechToTextDataset
     for_s2s = False
 
-    def __init__(self, cfg: TaskConfig, tgt_dict: Dictionary):
+    def __init__(self, cfg: TaskConfig, tgt_dict: Dictionary, data_cfg=None):
         self.cfg = cfg
         self.tgt_dict = tgt_dict
+        self.data_cfg = data_cfg     # S2TDataConfig from config.yaml, or None
         self.datasets: Dict[str, Any] = {}
 
     @classmethod
     def setup_task(cls, cfg: TaskConfig) -> "NATSpeechToTextTask":
-        vocab_path = Path(cfg.data_dir) / cfg.vocab_filename
+        from daspeech_tpu.data.data_cfg import S2SDataConfig, S2TDataConfig
+
+        data_cfg = None
+        yaml_path = Path(cfg.data_dir) / cfg.config_yaml
+        if yaml_path.is_file():
+            cfg_cls = S2SDataConfig if cls.for_s2s else S2TDataConfig
+            data_cfg = cfg_cls(yaml_path)
+        vocab_name = (data_cfg.vocab_filename if data_cfg is not None
+                      else cfg.vocab_filename)
+        vocab_path = Path(cfg.data_dir) / vocab_name
+        if not vocab_path.is_file():
+            vocab_path = Path(cfg.data_dir) / cfg.vocab_filename
         tgt_dict = Dictionary.load(vocab_path)
-        return cls(cfg, tgt_dict)
+        return cls(cfg, tgt_dict, data_cfg=data_cfg)
 
     @property
     def vocab(self) -> VocabConfig:
@@ -109,6 +122,12 @@ class NATSpeechToTextTask:
 
     def load_dataset(self, split: str, transforms=None,
                      upsample_scale: float = 0.5):
+        """``transforms=None`` resolves the split's feature transforms from
+        config.yaml (SpecAugment+CMVN on ``_train`` splits, CMVN on eval —
+        ``data_cfg.py:155-166``); pass an explicit Compose to override."""
+        if transforms is None and self.data_cfg is not None:
+            transforms = self.data_cfg.get_feature_transforms(
+                split, is_train=split.startswith("train"))
         rows = load_tsv(Path(self.cfg.data_dir) / f"{split}.tsv")
         self.datasets[split] = self.dataset_cls(
             rows, self.tgt_dict, transforms=transforms,

@@ -107,16 +107,25 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 
 def shard_batch_specs(batch: Dict[str, jnp.ndarray], mesh: Mesh,
-                      axis: str = "data"):
-    """NamedShardings splitting the leading (batch) dim over the mesh."""
-    return {
-        k: NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1))))
-        for k, v in batch.items()
-    }
+                      axis: str = "data", batch_dim: int = 0):
+    """NamedShardings splitting the batch dim over the mesh.
+
+    ``batch_dim=1`` is the --update-freq layout, where leaves carry a
+    leading microbatch axis [A, B, ...]: the scan axis A stays replicated
+    and the per-microbatch batch B is split across devices.
+    """
+    def spec(v):
+        dims = [None] * v.ndim
+        if v.ndim > batch_dim:
+            dims[batch_dim] = axis
+        return NamedSharding(mesh, P(*dims))
+
+    return {k: spec(v) for k, v in batch.items()}
 
 
 def jit_data_parallel(
     train_step: Callable, mesh: Mesh, axis: str = "data",
+    batch_dim: int = 0,
 ) -> Callable:
     """pjit the step: params/opt state replicated, batch sharded on `axis`.
     XLA inserts the grad all-reduce (psum over ICI) automatically."""
@@ -124,7 +133,7 @@ def jit_data_parallel(
 
     def wrapped(state, batch, rng):
         batch = jax.lax.with_sharding_constraint(
-            batch, shard_batch_specs(batch, mesh, axis))
+            batch, shard_batch_specs(batch, mesh, axis, batch_dim))
         return train_step(state, batch, rng)
 
     return jax.jit(

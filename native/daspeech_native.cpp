@@ -51,6 +51,14 @@ int64_t batch_by_size(
         if (is_full(count, cand_max)) {
             // close the previous batch, rounding to bsz_mult where possible
             int64_t size = i - batch_start;
+            if (size == 0) {
+                // single sample exceeding max_tokens: keep it in the open
+                // batch so it lands alone in its own batch (fairseq
+                // data_utils_fast.pyx keeps oversized sentences solo rather
+                // than emitting an empty batch)
+                batch_max_len = cand_max;
+                continue;
+            }
             int64_t mod = size % bsz_mult;
             int64_t keep = (size > bsz_mult && mod != 0) ? size - mod : size;
             if (keep <= 0) keep = size;

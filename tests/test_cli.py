@@ -167,6 +167,43 @@ class TestValidationBLEU:
         assert all(0 <= b <= 100 for b in bleus)
 
 
+class TestValidationLoss:
+    def test_s2s_valid_loss_selects_best_checkpoint(self, tmp_path, capsys):
+        """Stages 2/3 validate on valid loss and pick checkpoint_best by it
+        (``fairseq_cli/train.py:375-448``) — round 1 used smoothed train
+        loss."""
+        rng = np.random.default_rng(7)
+        write_corpus(tmp_path, rng, s2s=True, n=6)
+        (tmp_path / "s2s.yaml").write_text(yaml.safe_dump(TINY_S2S))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_speech",
+            "--criterion", "s2s_dag_fastspeech2_loss",
+            "--model-yaml", str(tmp_path / "s2s.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-tokens", "512",
+            "--num-buckets", "1", "--warmup-updates", "2",
+            "--log-interval", "1", "--max-source-positions", "100",
+            "--max-target-positions", "16",
+            "--validate-interval-updates", "1",
+            "--save-interval-updates", "1",
+            "--valid-subset", "dev",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        vlosses = [r["valid_loss"] for r in recs if "valid_loss" in r]
+        assert len(vlosses) == 2, "valid loss not logged every interval"
+        assert all(np.isfinite(vlosses))
+        best = json.loads((tmp_path / "ckpt" / "best.json").read_text())
+        # best checkpoint corresponds to the step with the lowest valid loss
+        want_step = 1 + int(np.argmin(vlosses))
+        assert best["step"] == want_step
+        assert best["metric"] == pytest.approx(min(vlosses), rel=1e-6)
+
+
 class TestS2SFinetuning:
     def test_three_stage_recipe(self, tmp_path, capsys):
         """Full recipe: S2TT pretrain -> TTS pretrain -> S2ST finetune with

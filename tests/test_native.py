@@ -28,6 +28,30 @@ class TestNative:
             assert len(g) <= 16
             assert len(g) * num_tokens[g].max() <= 1000 or len(g) == 1
 
+    def test_batch_by_size_oversized_sample_goes_alone(self):
+        """A sample with num_tokens > max_tokens must land alone in its own
+        batch (fairseq semantics) — not produce an empty batch."""
+        num_tokens = np.asarray([50, 3000, 60, 70], np.int64)
+        order = np.arange(4, dtype=np.int64)
+        got = native.batch_by_size(order, num_tokens, max_tokens=200,
+                                   max_sentences=0, bsz_mult=1)
+        want = native._batch_by_size_py(order, num_tokens, 200, 0, 1)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        assert all(len(g) > 0 for g in got)
+        np.testing.assert_array_equal(np.sort(np.concatenate(got)), order)
+        # the oversized sample is solo
+        solo = [g for g in got if 1 in g]
+        assert len(solo) == 1 and len(solo[0]) == 1
+
+        # oversized sample in the last position: flushed by the tail
+        num_tokens = np.asarray([50, 60, 3000], np.int64)
+        order = np.arange(3, dtype=np.int64)
+        got = native.batch_by_size(order, num_tokens, max_tokens=200)
+        want = native._batch_by_size_py(order, num_tokens, 200, 0, 1)
+        assert [g.tolist() for g in got] == [w.tolist() for w in want]
+
     def test_pack_frames(self):
         rng = np.random.default_rng(1)
         mats = [rng.normal(size=(t, 4)).astype(np.float32)

@@ -93,3 +93,19 @@ class TestEndToEnd:
         mel = get_features_or_waveform(row["tgt_audio"])
         assert mel.shape[1] == 80
         assert int(row["tgt_n_frames"]) == len(mel)
+
+
+class TestConfigYaml:
+    def test_write_config_yaml_round_trips_through_data_cfg(self, tmp_path):
+        from daspeech_tpu.data.data_cfg import S2TDataConfig
+        from daspeech_tpu.preprocess.prep_data import write_config_yaml
+
+        write_config_yaml(tmp_path, gcmvn_stats="gcmvn_stats.npz",
+                          vocoder={"type": "hifigan",
+                                   "checkpoint": "hifigan_ckpt"})
+        cfg = S2TDataConfig(tmp_path / "config.yaml")
+        assert cfg.vocab_filename == "vocab.txt"
+        assert cfg.transform_names("train", True) == [
+            "utterance_cmvn", "specaugment"]
+        assert cfg.transform_names("test", False) == ["utterance_cmvn"]
+        assert cfg.vocoder["type"] == "hifigan"
