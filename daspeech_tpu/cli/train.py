@@ -111,6 +111,11 @@ def parse_args(argv=None):
     p.add_argument("--reset-decoder-vocab", action="store_true",
                    help="keep fresh decoder embeddings when loading the "
                         "pretrained DAG (multilingual vocabulary swap)")
+    p.add_argument("--banded-dp", action="store_true",
+                   help="route the DAG DP through the block-banded backend "
+                        "(O(L*W) memory; requires max_transition_length < "
+                        "L-1 in the model config; measured slower than the "
+                        "full-matrix scan on one v5e — a memory lever)")
     p.add_argument("--fused-vocab-chunk", type=int, default=None,
                    help="stream the vocab projection in chunks of this size "
                         "(never materializes B*L*V logits; for large "
@@ -262,6 +267,10 @@ def main(argv=None):
     glat_sched = parse_anneal(args.glat_p)
     glance = (None if args.glance_strategy in ("none", "None")
               else args.glance_strategy)
+    # banded DP when the model caps the transition distance (< L-1)
+    mtl = (model_cfg.dag.decoder.max_transition_length if is_s2s
+           else None if is_tts
+           else model_cfg.decoder.max_transition_length)
 
     def loss_fn(params_dict, batch, key, step):
         if is_tts:
@@ -279,11 +288,13 @@ def main(argv=None):
                 glance_strategy=glance,
                 no_force_emit=args.no_force_emit,
                 freeze_dag=freeze,
-                fused_vocab_chunk=args.fused_vocab_chunk)
+                fused_vocab_chunk=args.fused_vocab_chunk,
+                max_transition_length=mtl, banded_dp=args.banded_dp)
         return nat_dag_loss(
             model, params_dict, batch, key, glat_p, vocab,
             glance_strategy=glance, no_force_emit=args.no_force_emit,
-            fused_vocab_chunk=args.fused_vocab_chunk)
+            fused_vocab_chunk=args.fused_vocab_chunk,
+            max_transition_length=mtl, banded_dp=args.banded_dp)
 
     from jax.sharding import Mesh
 
@@ -337,7 +348,8 @@ def main(argv=None):
             tts_loss_weight=args.tts_loss_weight,
             training_strategy=args.training_strategy,
             glance_strategy=None, no_force_emit=args.no_force_emit,
-            train=False, fused_vocab_chunk=args.fused_vocab_chunk)
+            train=False, fused_vocab_chunk=args.fused_vocab_chunk,
+            max_transition_length=mtl, banded_dp=args.banded_dp)
 
     uses_valid_loss = has_valid and (is_s2s or is_tts)
     eval_step = (jax.jit(

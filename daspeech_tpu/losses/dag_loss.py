@@ -25,6 +25,36 @@ from daspeech_tpu.ops import (
 )
 
 
+def _band_width(max_transition_length: Optional[int], L: int) -> Optional[int]:
+    """Effective band width, or None when the band covers the full upper
+    triangle (the recipe's 99999 clamps to L-1 and is a no-op —
+    ``s2t_conformer_dag.py:144-145``).
+
+    NOTE: band *semantics* (masked, band-renormalized links) are enforced by
+    ``GlatLinkDecoder.extract_links``; routing the DP through the banded
+    backend is purely a memory lever. Measured on one v5e, the full-matrix
+    scan WINS on wall clock even at L=1024/W=128 (the scan is per-step
+    latency-bound, and one fused [L, L] matvec beats two block einsums), so
+    banded routing is opt-in via ``banded_dp=True``.
+    """
+    if max_transition_length is None or max_transition_length <= 0:
+        return None
+    return max_transition_length if max_transition_length < L - 1 else None
+
+
+def _best_alignment(match, links, output_length, target_length,
+                    max_transition_length=None, banded_dp=False):
+    """Full-matrix or block-banded Viterbi, by effective band width."""
+    W = _band_width(max_transition_length, links.shape[1])
+    if W is None or not banded_dp:
+        return dag_best_alignment(match, links, output_length, target_length)
+    from daspeech_tpu.ops.dag_banded import dag_best_alignment_banded
+    from daspeech_tpu.ops.links_utils import full_to_band
+
+    return dag_best_alignment_banded(
+        match, full_to_band(links, W), output_length, target_length)
+
+
 class GlatInfo(NamedTuple):
     prev_output_tokens: jnp.ndarray      # [B, L] glanced decoder input
     matchmask: Optional[jnp.ndarray]     # [B, T, L] bool
@@ -45,6 +75,8 @@ def glat_glance(
     pred_tokens: Optional[jnp.ndarray] = None,   # [B, L] (fused path)
     match: Optional[jnp.ndarray] = None,         # [B, T, L] (fused path)
     sample_mask: Optional[jnp.ndarray] = None,   # [B] 1=real, 0=filler
+    max_transition_length: Optional[int] = None,
+    banded_dp: bool = False,     # route Viterbi through the banded backend
 ) -> GlatInfo:
     """The ``glat_function`` (``nat_dag_loss.py:202-264``): Viterbi-align the
     graph to the reference, count mispredictions, and replace a subset of
@@ -70,7 +102,8 @@ def glat_glance(
     else:
         pred_tokens = jax.lax.stop_gradient(pred_tokens)
         match = jax.lax.stop_gradient(match)
-    path = dag_best_alignment(match, links, output_length, target_length)
+    path = _best_alignment(match, links, output_length, target_length,
+                           max_transition_length, banded_dp)
 
     predict_align_mask = path >= 0                                 # [B, L]
     # matchmask[b, t, j] = (path[b, j] == t)
@@ -148,6 +181,8 @@ def compute_dag_loss(
     with_alpha_beta: bool = False,
     match_all: Optional[jnp.ndarray] = None,   # [B, T, L] precomputed
     sample_mask: Optional[jnp.ndarray] = None,  # [B] 1=real, 0=bucket filler
+    max_transition_length: Optional[int] = None,
+    banded_dp: bool = False,
 ):
     """``_compute_dag_loss`` (``nat_dag_loss.py:116-162``): returns
     (loss, metrics[, alpha, beta]). Non-finite sentences (unsatisfiable
@@ -156,6 +191,11 @@ def compute_dag_loss(
     ``sample_mask`` carries zero weight for the duplicate items
     ``BucketBatcher.collate`` uses to fill short batches, matching the
     reference's true-sample_size weighting (``fairseq/trainer.py:932-953``).
+
+    ``banded_dp=True`` with ``max_transition_length`` < L-1 routes the DP
+    through the block-banded ops (``ops/dag_banded.py``) — O(L*W) memory per
+    step instead of O(L^2), the reference CUDA kernels' banded layout
+    (``dag_loss.py:80-96``). Off by default: see :func:`_band_width`.
     """
     B, L = prev_output_tokens.shape
     T = tgt_tokens.shape[1]
@@ -172,7 +212,21 @@ def compute_dag_loss(
         match_all = force_emit_match(
             match_all, matchmask, keep_word_mask, no_force_emit)
 
-    if with_alpha_beta:
+    W = _band_width(max_transition_length, L) if banded_dp else None
+    if W is not None:
+        from daspeech_tpu.ops.dag_banded import (
+            dag_loss_banded, dag_loss_banded_with_alpha_beta)
+        from daspeech_tpu.ops.links_utils import full_to_band
+
+        band = full_to_band(links, W)
+        if with_alpha_beta:
+            logprob, alpha, beta = dag_loss_banded_with_alpha_beta(
+                match_all, band, output_length, target_length)
+        else:
+            logprob = dag_loss_banded(
+                match_all, band, output_length, target_length)
+            alpha = beta = None
+    elif with_alpha_beta:
         logprob, alpha, beta = dag_loss_with_alpha_beta(
             match_all, links, output_length, target_length)
     else:
@@ -208,6 +262,8 @@ def nat_dag_loss(
     no_force_emit: bool = False,
     train: bool = True,
     fused_vocab_chunk: Optional[int] = None,
+    max_transition_length: Optional[int] = None,
+    banded_dp: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Criterion forward (``NATDAGLoss.forward``, ``nat_dag_loss.py:164-314``).
 
@@ -283,12 +339,16 @@ def nat_dag_loss(
             glat_info = glat_glance(
                 k_glat, None, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy,
-                pred_tokens=pred1, match=match1, sample_mask=sample_mask)
+                pred_tokens=pred1, match=match1, sample_mask=sample_mask,
+                max_transition_length=max_transition_length,
+                banded_dp=banded_dp)
         else:
             logits1, links1, _, _ = forward(prev_output_tokens)
             glat_info = glat_glance(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
-                glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask)
+                glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask,
+                max_transition_length=max_transition_length,
+                banded_dp=banded_dp)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -303,13 +363,17 @@ def nat_dag_loss(
             None, links, tgt_tokens, prev2, vocab.pad,
             matchmask=matchmask, keep_word_mask=keep_mask,
             no_force_emit=no_force_emit, match_all=match_all,
-            sample_mask=sample_mask)
+            sample_mask=sample_mask,
+            max_transition_length=max_transition_length,
+            banded_dp=banded_dp)
     else:
         logits, links, feats, updates = forward(prev2)
         loss, metrics = compute_dag_loss(
             logits, links, tgt_tokens, prev2, vocab.pad,
             matchmask=matchmask, keep_word_mask=keep_mask,
-            no_force_emit=no_force_emit, sample_mask=sample_mask)
+            no_force_emit=no_force_emit, sample_mask=sample_mask,
+            max_transition_length=max_transition_length,
+            banded_dp=banded_dp)
 
     metrics["loss"] = loss
     if glat_info is not None:

@@ -63,7 +63,8 @@ def expected_features(alpha, beta, features):
 
 
 def argmax_path_features(logits, links, tgt_tokens, prev_output_tokens,
-                         features, pad, match_all=None):
+                         features, pad, match_all=None,
+                         max_transition_length=None, banded_dp=False):
     """``argmax``: gather features on the Viterbi path, excluding <bos>
     (``path[:, 0] = -1``), compacted to the left like ``_collate_frames``.
 
@@ -82,8 +83,11 @@ def argmax_path_features(logits, links, tgt_tokens, prev_output_tokens,
         match = jnp.swapaxes(match, 1, 2)
     else:
         match = jax.lax.stop_gradient(match_all)
-    path = dag_best_alignment(
-        match, jax.lax.stop_gradient(links), output_length, target_length)
+    from daspeech_tpu.losses.dag_loss import _best_alignment
+
+    path = _best_alignment(
+        match, jax.lax.stop_gradient(links), output_length, target_length,
+        max_transition_length, banded_dp)
     path = path.at[:, 0].set(-1)                           # mask <bos>
 
     # vertex j with path[b, j] = t >= 1 supplies output slot t - 1; the
@@ -111,6 +115,8 @@ def s2s_dag_fastspeech2_loss(
     freeze_dag=False,   # bool OR traced bool scalar (step <= freezing_steps)
     train: bool = True,
     fused_vocab_chunk: Optional[int] = None,
+    max_transition_length: Optional[int] = None,
+    banded_dp: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Criterion forward (``S2SDAGFastSpeech2Loss.forward``, ``:94-345``).
 
@@ -170,11 +176,15 @@ def s2s_dag_fastspeech2_loss(
             glat_info = glat_glance(
                 k_glat, None, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy,
-                pred_tokens=pred1, match=match1, sample_mask=sample_mask)
+                pred_tokens=pred1, match=match1, sample_mask=sample_mask,
+                max_transition_length=max_transition_length,
+                banded_dp=banded_dp)
         else:
             glat_info = glat_glance(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
-                glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask)
+                glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask,
+                max_transition_length=max_transition_length,
+                banded_dp=banded_dp)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -199,7 +209,8 @@ def s2s_dag_fastspeech2_loss(
         logits, links, tgt_tokens, prev2, vocab.pad,
         matchmask=matchmask, keep_word_mask=keep_mask,
         no_force_emit=no_force_emit, with_alpha_beta=True,
-        match_all=match_all, sample_mask=sample_mask)
+        match_all=match_all, sample_mask=sample_mask,
+        max_transition_length=max_transition_length, banded_dp=banded_dp)
 
     # ---- FastSpeech 2 over selected hidden states ----
     text_lengths = jnp.sum(tgt_tokens != vocab.pad, axis=1)
@@ -209,7 +220,8 @@ def s2s_dag_fastspeech2_loss(
     elif training_strategy == "argmax":
         z, z_lengths = argmax_path_features(
             logits, links, tgt_tokens, prev2, features, vocab.pad,
-            match_all=match_all)
+            match_all=match_all, max_transition_length=max_transition_length,
+            banded_dp=banded_dp)
     else:
         raise ValueError(training_strategy)
 

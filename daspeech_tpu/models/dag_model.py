@@ -10,8 +10,10 @@ Differences from the reference, by design:
 - links are produced directly as a full [B, L, L] log-transition matrix
   (strictly upper-triangular within the graph) instead of the banded
   gather/scatter pair ``extract_valid_links``/``restore_valid_links``
-  (``s2t_conformer_dag.py:140-169``) — the band extraction exists in
-  ``ops.links_utils`` for the Pallas kernels.
+  (``s2t_conformer_dag.py:140-169``); ``max_transition_length`` applies the
+  same banded-softmax semantics as a mask on the full layout, and
+  ``ops.links_utils``/``ops.dag_banded`` provide the banded [B, L, W] views
+  and block-banded DP for small W.
 - the GLAT paired forward passes share dropout rngs via explicit key reuse
   (replacing the ``torch_seed`` ctx manager, ``s2t_conformer_dag.py:39-50``).
 """
@@ -53,6 +55,7 @@ class GlatLinkDecoder(nn.Module):
     share_input_output_embed: bool = True
     max_target_positions: int = 1024
     links_feature: str = "feature:position"
+    max_transition_length: int = 99999
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -118,8 +121,15 @@ class GlatLinkDecoder(nn.Module):
     ) -> jnp.ndarray:
         """Full-matrix equivalent of ``extract_links``
         (``s2t_conformer_dag.py:171-212``): per-head QK scores over vertex
-        pairs, masked log-softmax over valid successors (j > i and
-        j < output_length), then gated logsumexp over heads.
+        pairs, masked log-softmax over valid successors (j > i,
+        j <= i + max_transition_length, and j < output_length), then gated
+        logsumexp over heads.
+
+        ``max_transition_length`` reproduces the banded-softmax semantics of
+        the reference's ``extract_valid_links`` (``s2t_conformer_dag.py:
+        140-155``): the normalizer runs over the band only. The recipe's
+        99999 clamps to L-1 (a full upper triangle), making the band a
+        no-op there.
 
         Returns links [B, L, L] float32 log-transitions (-inf invalid).
         """
@@ -145,6 +155,8 @@ class GlatLinkDecoder(nn.Module):
         i_idx = jnp.arange(L)[None, :, None]
         j_idx = jnp.arange(L)[None, None, :]
         valid = (j_idx > i_idx) & (j_idx < out_len[:, None, None])   # [B, L, L]
+        if 0 < self.max_transition_length < L - 1:
+            valid &= (j_idx - i_idx) <= self.max_transition_length
 
         # finite floor instead of -inf inside the differentiable region:
         # exp(-1e9 - lse) underflows to exactly 0 in f32, so valid entries
@@ -194,7 +206,8 @@ class S2TConformerDAG(nn.Module):
             learned_pos=d.learned_pos,
             share_input_output_embed=d.share_input_output_embed,
             max_target_positions=d.max_target_positions,
-            links_feature=d.links_feature, dtype=self.dtype)
+            links_feature=d.links_feature,
+            max_transition_length=d.max_transition_length, dtype=self.dtype)
 
     def encode(self, fbank, src_lengths, train: bool = False):
         enc, enc_pad, enc_lens = self.encoder(fbank, src_lengths, train=train)

@@ -1,16 +1,27 @@
 """DAG dynamic-program primitives.
 
-Two interchangeable backends mirror the reference's CUDA-vs-torch dual
+Three backends mirror (and extend) the reference's CUDA-vs-torch dual
 implementation (``DASpeech/custom_ops/__init__.py``):
 
-- ``dag_ref``   : `lax.scan` logsumexp/max DP (correctness oracle, already
-                  MXU-friendly via the exp-matmul trick).
-- ``dag_pallas``: fused Pallas TPU kernels keeping the DP state in VMEM.
-
-The public names dispatch to the Pallas backend when available and fall back
-to the scan reference.
+- ``dag_ref``    : full-matrix `lax.scan` logsumexp/max DP. The DEFAULT —
+                   the exp-matmul trick keeps every step on the MXU and it
+                   is the fastest backend at recipe shapes; also the
+                   correctness oracle.
+- ``dag_banded`` : block-banded DP for bounded ``max_transition_length``
+                   (O(L*W) per token; the reference CUDA kernels' banded
+                   layout). The criteria route here automatically when the
+                   band is narrower than the full triangle.
+- ``dag_pallas`` : experimental fused Pallas TPU kernels keeping the DP
+                   state in VMEM. Currently NOT on any hot path: it ties or
+                   loses to the XLA scan at recipe shapes (see COVERAGE.md
+                   bench table); kept as a verified alternative backend.
 """
 
+from daspeech_tpu.ops.dag_banded import (
+    dag_best_alignment_banded,
+    dag_loss_banded,
+    dag_loss_banded_with_alpha_beta,
+)
 from daspeech_tpu.ops.dag_ref import (
     dag_best_alignment,
     dag_logsoftmax_gather,
@@ -23,8 +34,11 @@ from daspeech_tpu.ops.links_utils import band_to_full, full_to_band
 
 __all__ = [
     "dag_best_alignment",
+    "dag_best_alignment_banded",
     "dag_logsoftmax_gather",
     "dag_loss",
+    "dag_loss_banded",
+    "dag_loss_banded_with_alpha_beta",
     "dag_loss_forward",
     "dag_loss_with_alpha_beta",
     "torch_style_dag_loss",
