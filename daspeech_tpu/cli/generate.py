@@ -61,7 +61,12 @@ def parse_args(argv=None):
     p.add_argument("data")
     p.add_argument("--task", default="nat_speech_to_speech",
                    choices=["nat_speech_to_text", "nat_speech_to_speech"])
-    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="orbax checkpoint dir from cli.train")
+    p.add_argument("--model-torch", default=None,
+                   help="released DASpeech fairseq .pt to import directly "
+                        "(encoder./decoder.[/adaptor./tts.] model state "
+                        "dict; s2s_conformer_dag_fastspeech2.py:43-100)")
     p.add_argument("--gen-subset", default="test")
     p.add_argument("--results-path", default="results")
     p.add_argument("--decode-strategy", default="lookahead")
@@ -104,11 +109,42 @@ def main(argv=None):
     model = (S2SConformerDAGFastSpeech2(model_cfg) if is_s2s
              else S2TConformerDAG(model_cfg))
 
-    ckpt = CheckpointManager(args.checkpoint_dir)
-    # restore with an abstract template derived from a probe batch
+    if not (args.checkpoint_dir or args.model_torch):
+        raise SystemExit("need --checkpoint-dir or --model-torch")
     it = task.get_batch_iterator(args.gen_subset,
                                  upsample_scale=args.src_upsample_scale)
     probe = next(iter(it))
+
+    if args.model_torch:
+        import torch
+
+        from daspeech_tpu.train.torch_import import (
+            import_s2s_daspeech, import_s2t_conformer_dag)
+
+        ckpt_t = torch.load(args.model_torch, map_location="cpu",
+                            weights_only=True)
+        sd = ckpt_t.get("model", ckpt_t)
+        dag_cfg = model_cfg.dag if is_s2s else model_cfg
+        if is_s2s:
+            variables = import_s2s_daspeech(
+                sd, enc_layers=dag_cfg.encoder.num_layers,
+                dec_layers=dag_cfg.decoder.num_layers,
+                tts_cfg=model_cfg.tts,
+                tied_embeddings=dag_cfg.decoder.share_input_output_embed)
+        else:
+            variables = import_s2t_conformer_dag(
+                sd, enc_layers=dag_cfg.encoder.num_layers,
+                dec_layers=dag_cfg.decoder.num_layers,
+                tied_embeddings=dag_cfg.decoder.share_input_output_embed)
+        params = {"params": variables["params"]}
+        if variables.get("batch_stats"):
+            params["batch_stats"] = variables["batch_stats"]
+        print(f"imported torch checkpoint {args.model_torch}",
+              file=sys.stderr)
+        return _generate_with(args, task, model, params, it, is_s2s)
+
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    # restore with an abstract template derived from a probe batch
 
     def init_fn(key):
         jb = {k: jnp.asarray(v) for k, v in probe.items()}
@@ -138,7 +174,10 @@ def main(argv=None):
     params = {"params": state.params}
     if state.batch_stats:
         params["batch_stats"] = state.batch_stats
+    return _generate_with(args, task, model, params, it, is_s2s)
 
+
+def _generate_with(args, task, model, params, it, is_s2s):
     # optional vocoder (``get_vocoder`` dispatch, ``vocoder.py:297-305``)
     vocoder = vocoder_params = None
     if args.vocoder_torch or args.vocoder_checkpoint:

@@ -217,6 +217,112 @@ def import_conformer_layer(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def import_dag_decoder(sd: Dict[str, Any], num_layers: int,
+                       prefix: str = "decoder",
+                       tied_embeddings: bool = True) -> Dict[str, Any]:
+    """``GlatLinkDecoder`` state dict (``s2t_conformer_dag.py:437-477`` on a
+    fairseq ``NATransformerDecoder``) -> params for
+    :class:`daspeech_tpu.models.dag_model.GlatLinkDecoder`.
+
+    Covers: token/positional embeddings, the non-causal transformer layers
+    (self_attn, encoder_attn, FFN), the link predictor (link_positional +
+    query/key/gate linears), and the untied output projection when present.
+    The NAT base class's unused ``embed_length`` head is skipped.
+    """
+    P = lambda s: f"{prefix}.{s}" if prefix else s
+    p: Dict[str, Any] = {
+        "embed_tokens": {"embedding": _np(sd[P("embed_tokens.weight")])},
+        "embed_positions": {"embedding": _np(sd[P("embed_positions.weight")])},
+        "query_linear": _dense(sd, P("query_linear")),
+        "key_linear": _dense(sd, P("key_linear")),
+        "gate_linear": _dense(sd, P("gate_linear")),
+    }
+    if P("link_positional.weight") in sd:
+        p["link_positional"] = {
+            "embedding": _np(sd[P("link_positional.weight")])}
+    if not tied_embeddings and P("output_projection.weight") in sd:
+        p["output_projection"] = _dense(sd, P("output_projection"))
+
+    for i in range(num_layers):
+        lp = P(f"layers.{i}")
+        p[f"layers_{i}"] = {
+            "self_attn": _mha(sd, f"{lp}.self_attn"),
+            "self_attn_layer_norm": _ln(sd, f"{lp}.self_attn_layer_norm"),
+            "encoder_attn": _mha(sd, f"{lp}.encoder_attn"),
+            "encoder_attn_layer_norm": _ln(
+                sd, f"{lp}.encoder_attn_layer_norm"),
+            "ffn": {"fc1": _dense(sd, f"{lp}.fc1"),
+                    "fc2": _dense(sd, f"{lp}.fc2")},
+            "final_layer_norm": _ln(sd, f"{lp}.final_layer_norm"),
+        }
+    return {"params": p}
+
+
+def import_s2t_conformer_dag(sd: Dict[str, Any], enc_layers: int,
+                             dec_layers: int,
+                             tied_embeddings: bool = True) -> Dict[str, Any]:
+    """Full ``S2TConformerDAGModel`` ``model`` state dict -> variables for
+    :class:`...dag_model.S2TConformerDAG` (the stage-1 checkpoint loaded by
+    ``s2s_conformer_dag_fastspeech2.py:66-70``).
+
+    Dimension bridge: the reference's 256-d encoder feeds 512-d decoder
+    cross-attention through per-layer ``kdim``/``vdim`` projections; here an
+    ``enc_proj`` zero-pads the encoder output to the decoder width (kernel =
+    [I; 0]) and the per-layer k/v kernels get matching zero rows — an exact
+    reparameterization, verified by the parity test.
+    """
+    enc = import_conformer_encoder(sd, enc_layers, prefix="encoder")
+    dec = import_dag_decoder(sd, dec_layers, prefix="decoder",
+                             tied_embeddings=tied_embeddings)
+    params = {"encoder": enc["params"], "decoder": dec["params"]}
+    batch_stats = {"encoder": enc["batch_stats"]}
+
+    # infer dims from the weights themselves
+    enc_dim = _np(sd["encoder.linear.weight"]).shape[0]
+    dec_dim = _np(sd["decoder.embed_tokens.weight"]).shape[1]
+    if enc_dim != dec_dim:
+        params["enc_proj"] = pad_cross_attention_kv(
+            params["decoder"], dec_layers, enc_dim, dec_dim)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def pad_cross_attention_kv(dec_params: Dict[str, Any], dec_layers: int,
+                           enc_dim: int, dec_dim: int) -> Dict[str, Any]:
+    """Zero-pad per-layer cross-attention k/v kernels from ``enc_dim`` to
+    ``dec_dim`` input rows (in place) and return the matching identity-pad
+    ``enc_proj`` params. Exact reparameterization of fairseq's
+    kdim/vdim-typed encoder_attn."""
+    for i in range(dec_layers):
+        ea = dec_params[f"layers_{i}"]["encoder_attn"]
+        for name in ("k_proj", "v_proj"):
+            w = ea[name]["kernel"]                         # [enc_dim, dec_dim]
+            padded = np.zeros((dec_dim, w.shape[1]), w.dtype)
+            padded[:enc_dim] = w
+            ea[name]["kernel"] = padded
+    eye = np.zeros((enc_dim, dec_dim), np.float32)
+    eye[:enc_dim, :enc_dim] = np.eye(enc_dim, dtype=np.float32)
+    return {"kernel": eye, "bias": np.zeros((dec_dim,), np.float32)}
+
+
+def import_s2s_daspeech(sd: Dict[str, Any], enc_layers: int, dec_layers: int,
+                        tts_cfg, tied_embeddings: bool = True
+                        ) -> Dict[str, Any]:
+    """Full ``S2SConformerDAGFastSpeech2Model`` ``model`` state dict ->
+    variables for :class:`...s2s_model.S2SConformerDAGFastSpeech2`
+    (released DASpeech .pt layout: encoder./decoder./adaptor./tts.* —
+    ``s2s_conformer_dag_fastspeech2.py:43-100``)."""
+    dag = import_s2t_conformer_dag(sd, enc_layers, dec_layers,
+                                   tied_embeddings=tied_embeddings)
+    adaptor = {"fc1": _dense(sd, "adaptor.fc1"),
+               "fc2": _dense(sd, "adaptor.fc2")}
+    tts = import_fastspeech2(sd, tts_cfg, prefix="tts")
+    return {
+        "params": {"dag": dag["params"], "adaptor": adaptor,
+                   "tts": tts["params"]},
+        "batch_stats": {"dag": dag["batch_stats"]},
+    }
+
+
 def import_conformer_encoder(sd: Dict[str, Any], num_layers: int,
                              prefix: str = "encoder") -> Dict[str, Any]:
     """Full ``S2TConformerEncoder`` state dict -> params for
