@@ -1,25 +1,27 @@
-"""End-to-end fr-en S2ST inference benchmark (BASELINE.json config 4).
+"""BASELINE.md benchmark suite on one TPU chip, CVSS-C-realistic shapes.
 
-Measures the full two-pass pipeline on one TPU chip at CVSS-C-realistic
-shapes and the recipe's model dims (``/root/reference/README.md:233-237,
-297-301``): 80-dim fbank -> Conformer 12L x 256d -> DAG decoder 4L x 512d
-(graph = 0.5 * src frames) -> lookahead decode -> path-feature gather ->
-FastSpeech2 4+4L x 256d -> HiFi-GAN config_v1 -> 22.05 kHz waveform.
+Emits one JSON line per BASELINE.md config (1-5), headline LAST (the driver
+parses the final line):
 
-Weights are random this round (no trained checkpoint yet), so durations are
-teacher-forced to fill the mel bucket — random-weight predicted durations
-collapse to ~0 frames which would fake an unrealistically high RTF. The
-measured compute therefore matches the trained-model inference workload at
-these shapes.
+  1 vocoder_rtf          HiFi-GAN config_v1 mel->wav (folded serving path)
+  2 fastspeech2_rtf      phoneme->mel synthesis
+  3 s2tt_decode_rtf      Conformer-DAG forward + lookahead decode
+  5 dag_train_step_ms    full nat_dag_loss fwd+bwd+Adam at max-tokens 40k,
+                         with measured TFLOP/s and MFU (vs v5e bf16 peak)
+  4 e2e_s2st_rtf         full two-pass S2ST (headline; vs the 10x-real-time
+                         north star — the reference publishes no numbers)
 
-Prints ONE JSON line:
-  {"metric": "e2e_s2st_rtf_x_realtime", "value": R, "unit": "x_realtime",
-   "vs_baseline": R / 10.0}
-(vs_baseline is relative to the 10x-real-time-per-chip north star in
-BASELINE.md; the reference repo publishes no quantitative baseline.)
+Model dims follow the recipes (``/root/reference/README.md:233-237,
+297-301``): Conformer 12Lx256d, DAG 4Lx512d (graph = 0.5*src), FastSpeech2
+4+4Lx256d, HiFi-GAN config_v1 at 22.05 kHz. Weights are random (no trained
+checkpoint on this host), so durations are teacher-forced to fill the mel
+bucket — random-weight predicted durations collapse to ~0 frames which
+would fake an unrealistically high RTF. The measured compute matches the
+trained-model workload at these shapes.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -33,9 +35,41 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+V5E_BF16_PEAK = 197e12   # TPU v5e peak bf16 FLOP/s (MFU denominator)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def fast_init(model, key, method):
+    shapes = jax.eval_shape(lambda k: model.init(k, method=method), key)
+    flat, td = jax.tree_util.tree_flatten_with_path(shapes)
+    r = np.random.default_rng(0)
+    leaves = []
+    for path, leaf in flat:
+        name = "/".join(str(p) for p in path).lower()
+        if any(s in name for s in ("scale", "alpha", "'var'")):
+            v = np.ones(leaf.shape, leaf.dtype)
+        elif any(s in name for s in ("bias", "mean")):
+            v = np.zeros(leaf.shape, leaf.dtype)
+        else:
+            v = r.normal(0, 0.05, size=leaf.shape).astype(leaf.dtype)
+        leaves.append(jnp.asarray(v))
+    return jax.tree_util.tree_unflatten(td, leaves)
+
+
+def timeit(fn, *args, n=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
 
 def main():
-    import sys
     sys.path.insert(0, ".")
     from daspeech_tpu.core.config import (
         DAGModelConfig, HiFiGANConfig, S2SModelConfig, VocabConfig)
@@ -48,7 +82,7 @@ def main():
     # fr-en phoneme vocab is small (~80 entries); round up to a lane-friendly 128
     cfg = S2SModelConfig(dag=DAGModelConfig(vocab=VocabConfig(size=128)))
     model = S2SConformerDAGFastSpeech2(cfg)
-    voc = HiFiGANGenerator(HiFiGANConfig())
+    voc = HiFiGANGenerator(HiFiGANConfig(), fold_to=128)
 
     B = 8                     # batch of utterances per device step
     S = 480                   # 4.8 s of 10 ms fbank frames per utterance
@@ -68,26 +102,9 @@ def main():
         logits, links, feats = m(fbank, src_lengths, prev)
         return m.synthesize(feats[:, :T_PHONE], jnp.zeros((B, T_PHONE), bool), M)
 
-    def fast_init(model, key, method):
-        shapes = jax.eval_shape(lambda k: model.init(k, method=method), key)
-        flat, td = jax.tree_util.tree_flatten_with_path(shapes)
-        r = np.random.default_rng(0)
-        leaves = []
-        for path, leaf in flat:
-            name = "/".join(str(p) for p in path).lower()
-            if any(s in name for s in ("scale", "alpha", "'var'")):
-                v = np.ones(leaf.shape, leaf.dtype)
-            elif any(s in name for s in ("bias", "mean")):
-                v = np.zeros(leaf.shape, leaf.dtype)
-            else:
-                v = r.normal(0, 0.05, size=leaf.shape).astype(leaf.dtype)
-            leaves.append(jnp.asarray(v))
-        return jax.tree_util.tree_unflatten(td, leaves)
-
     params = fast_init(model, jax.random.key(0), full)
     vparams = fast_init(
-        voc, jax.random.key(1),
-        lambda m: m(jnp.zeros((B, M, 80))))
+        voc, jax.random.key(1), lambda m: m(jnp.zeros((B, M, 80))))
 
     # teacher-forced durations filling the mel bucket exactly (see docstring)
     per = M // T_PHONE
@@ -120,12 +137,9 @@ def main():
         mel = stage2(z, zmask, durs)
         return tokens, mel, stage3(mel)
 
-    import sys
+    audio_seconds = B * M * 256 / 22050.0
+    results = []
 
-    def log(msg):
-        print(msg, file=sys.stderr, flush=True)
-
-    args = (fbank, src_lengths, prev, durs)
     t = time.perf_counter()
     o1 = stage1(fbank, src_lengths, prev)
     jax.block_until_ready(o1)
@@ -136,23 +150,99 @@ def main():
     log(f"stage2 (FastSpeech2) compiled in {time.perf_counter()-t:.0f}s")
     t = time.perf_counter()
     jax.block_until_ready(stage3(o2))
-    log(f"stage3 (HiFi-GAN) compiled in {time.perf_counter()-t:.0f}s")
-    jax.block_until_ready(s2st(*args))          # compile
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = s2st(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    log(f"stage3 (HiFi-GAN folded) compiled in {time.perf_counter()-t:.0f}s")
 
-    audio_seconds = B * M * 256 / 22050.0
+    # --- config 3: S2TT lookahead decode (speech seconds per wall second)
+    dt = timeit(stage1, fbank, src_lengths, prev)
+    speech_seconds = B * S * 0.01
+    results.append({"metric": "s2tt_lookahead_decode_rtf",
+                    "value": round(speech_seconds / dt, 2),
+                    "unit": "x_realtime", "vs_baseline": None})
+
+    # --- config 2: FastSpeech2 synthesis
+    dt = timeit(stage2, o1[1], o1[2], durs)
+    results.append({"metric": "fastspeech2_rtf",
+                    "value": round(audio_seconds / dt, 2),
+                    "unit": "x_realtime", "vs_baseline": None})
+
+    # --- config 1: vocoder
+    dt = timeit(stage3, o2)
+    results.append({"metric": "hifigan_vocoder_rtf",
+                    "value": round(audio_seconds / dt, 2),
+                    "unit": "x_realtime", "vs_baseline": None})
+
+    # --- config 5: DAG training step at max-tokens 40000
+    try:
+        train_rec = bench_train_step()
+        results.append(train_rec)
+    except Exception as e:   # never lose the headline to a train-bench issue
+        log(f"train-step bench failed: {type(e).__name__}: {e}")
+
+    # --- config 4 (headline, LAST): full two-pass S2ST
+    jax.block_until_ready(s2st(fbank, src_lengths, prev, durs))
+    dt = timeit(s2st, fbank, src_lengths, prev, durs)
     rtf_x = audio_seconds / dt
-    print(json.dumps({
-        "metric": "e2e_s2st_rtf_x_realtime",
-        "value": round(rtf_x, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf_x / 10.0, 3),
-    }))
+    results.append({"metric": "e2e_s2st_rtf_x_realtime",
+                    "value": round(rtf_x, 2), "unit": "x_realtime",
+                    "vs_baseline": round(rtf_x / 10.0, 3)})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+def bench_train_step():
+    """Config 5: S2TT DAG criterion fwd+bwd+Adam at the recipe's token
+    budget (max-tokens 40000 -> B=80 x S=480), with TFLOP/s and MFU."""
+    from daspeech_tpu.core.config import DAGModelConfig, VocabConfig
+    from daspeech_tpu.losses import nat_dag_loss
+    from daspeech_tpu.models import (
+        S2TConformerDAG, graph_lengths, initialize_output_tokens)
+    from daspeech_tpu.train import TrainState, make_optimizer, make_train_step
+
+    cfg = DAGModelConfig(vocab=VocabConfig(size=128))
+    model = S2TConformerDAG(cfg)
+    B, S, L, T = 80, 480, 240, 64
+    rng = np.random.default_rng(0)
+    fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))
+    src_lengths = jnp.full((B,), S, jnp.int32)
+    prev = initialize_output_tokens(
+        graph_lengths(src_lengths, 0.5, 1024), L, cfg.vocab)
+    tgt = jnp.asarray(rng.integers(4, 128, size=(B, T)), jnp.int32)
+    tgt = tgt.at[:, 0].set(cfg.vocab.bos).at[:, T - 1].set(cfg.vocab.eos)
+    batch = {"fbank": fbank, "src_lengths": src_lengths, "target": tgt,
+             "prev_output_tokens": prev}
+
+    def init_method(m):
+        return m(fbank[:1], src_lengths[:1], prev[:1])
+
+    params = fast_init(model, jax.random.key(0), init_method)
+    tx = make_optimizer(lr=5e-4, warmup_updates=10000, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(pd, b, key, step):
+        return nat_dag_loss(model, pd, b, key, jnp.asarray(0.5), cfg.vocab)
+
+    step_jit = jax.jit(make_train_step(loss_fn, tx), donate_argnums=())
+    t = time.perf_counter()
+    lowered = step_jit.lower(state, batch, jax.random.key(0))
+    compiled = lowered.compile()
+    log(f"train step compiled in {time.perf_counter()-t:.0f}s")
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    dt = timeit(lambda: compiled(state, batch, jax.random.key(0)), n=10)
+    rec = {"metric": "dag_train_step_ms", "value": round(dt * 1e3, 2),
+           "unit": "ms_per_update_maxtokens40k", "vs_baseline": None}
+    if flops:
+        tflops = flops / dt / 1e12
+        rec["tflops"] = round(tflops, 1)
+        rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_BF16_PEAK, 3)
+    return rec
 
 
 if __name__ == "__main__":

@@ -184,7 +184,9 @@ def _generate_with(args, task, model, params, it, is_s2s):
         from daspeech_tpu.core.config import HiFiGANConfig
 
         hifi_cfg = HiFiGANConfig()
-        vocoder = HiFiGANGenerator(hifi_cfg)
+        # fold_to=128: space-to-depth serving path, ~2x faster on TPU with
+        # identical output (models/hifigan.py)
+        vocoder = HiFiGANGenerator(hifi_cfg, fold_to=128)
         if args.vocoder_torch:
             import torch
 

@@ -125,6 +125,54 @@ class NATSpeechToSpeechDataset(NATSpeechToTextDataset):
                        mel=mel, duration=dur, pitch=pitch, energy=energy)
 
 
+class NATTextTargetMultitaskData:
+    """Auxiliary text targets for multitask training, keyed by utterance id,
+    with <bos> prepended and <eos> appended for NAT generation
+    (``NATTextTargetMultitaskData``, ``nat_speech_to_text_dataset.py:116-155``).
+    """
+
+    def __init__(self, rows: Sequence[Dict[str, str]], tgt_dict: Dictionary,
+                 text_key: str = "tgt_text"):
+        self.dict = tgt_dict
+        self.data = {r["id"]: r[text_key] for r in rows if r.get(text_key)}
+
+    def get(self, sample_id: str) -> np.ndarray:
+        text = self.data.get(sample_id)
+        if text is None:
+            return np.zeros((0,), np.int32)
+        return self.dict.encode_line(text, append_eos=True, prepend_bos=True)
+
+    def collater(self, samples: Sequence[np.ndarray],
+                 cap: Optional[int] = None) -> Dict[str, np.ndarray]:
+        lengths = np.asarray([len(s) for s in samples], np.int32)
+        T = int(cap or max(int(lengths.max()), 1))
+        out = np.full((len(samples), T), self.dict.pad(), np.int32)
+        for b, s in enumerate(samples):
+            n = min(len(s), T)
+            out[b, :n] = s[:n]
+        return {"target": out, "target_lengths": np.minimum(lengths, T),
+                "ntokens": int(lengths.sum())}
+
+
+class NATSpeechToTextMultitaskDataset(NATSpeechToTextDataset):
+    """S2T dataset carrying per-task auxiliary text targets
+    (``NATSpeechToTextMultitaskDataset``,
+    ``nat_speech_to_text_dataset.py:158-210``)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.multitask_data: Dict[str, NATTextTargetMultitaskData] = {}
+
+    def add_multitask_dataset(self, task_name: str,
+                              task_data: NATTextTargetMultitaskData):
+        self.multitask_data[task_name] = task_data
+
+    def multitask_targets(self, i: int) -> Dict[str, np.ndarray]:
+        sample_id = self.rows[i]["id"]
+        return {name: data.get(sample_id)
+                for name, data in self.multitask_data.items()}
+
+
 # ----------------------------------------------------------------- batching
 
 def round_up(x: int, mult: int) -> int:
@@ -260,6 +308,18 @@ class BucketBatcher:
                         dst[b, :n] = arr[:n]
             batch.update(target_audio=mel, target_audio_lengths=mel_lengths,
                          durations=dur, pitches=pitch, energies=energy)
+        multitask = getattr(self.dataset, "multitask_data", None)
+        if multitask:
+            # per-task padded aux targets (collater caps at the bucket's tgt
+            # dim so shapes stay static); reference collate:
+            # ``nat_speech_to_text_dataset.py:180-210``
+            fill_idxs = list(idxs) + [idxs[0]] * (B - n_real)
+            batch["multitask"] = {
+                name: data.collater(
+                    [data.get(self.dataset.rows[int(i)]["id"])
+                     for i in fill_idxs], cap=spec.tgt)
+                for name, data in multitask.items()
+            }
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

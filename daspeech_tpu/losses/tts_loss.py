@@ -93,6 +93,72 @@ def tts_transformer_criterion(
                   "batch_stats": None}
 
 
+def multidecoder_criterion(
+    model,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    vocab,
+    mt_loss_weight: float = 1.0,
+    stop_weight: float = 1.0,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Two-pass UnitY-style training loss: CE on the AR text pass +
+    teacher-forced L1 mel + BCE stop on the AR mel pass (the multitask
+    criterion shape the reference's MultiDecoder baselines train with).
+
+    batch keys: fbank, src_lengths, target_text [B,T] (<bos>..<eos>),
+    target_audio [B,M,80], target_audio_lengths[, sample_mask].
+    """
+    tgt = batch["target_text"]
+    mel_tgt = batch["target_audio"]
+    lens = batch["target_audio_lengths"]
+    B, T = tgt.shape
+    M, D = mel_tgt.shape[1], mel_tgt.shape[2]
+
+    # <eos>-prefixed shifted text input (fairseq's prev_output_tokens)
+    prev_tokens = jnp.concatenate(
+        [jnp.full((B, 1), vocab.eos, tgt.dtype), tgt[:, :-1]], axis=1)
+    go = jnp.zeros((B, 1, D), mel_tgt.dtype)
+    prev_mel = jnp.concatenate([go, mel_tgt[:, :-1]], axis=1)
+
+    variables = {"params": params["params"]}
+    if params.get("batch_stats"):
+        variables["batch_stats"] = params["batch_stats"]
+    out = model.apply(
+        variables, batch["fbank"], batch["src_lengths"],
+        prev_tokens, prev_mel, train=train, rngs={"dropout": rng},
+        mutable=["batch_stats"] if train else False)
+    if train:
+        (logits, mel, stop), updates = out
+    else:
+        logits, mel, stop = out
+        updates = {}
+
+    text_valid = tgt != vocab.pad
+    mel_valid = ~lengths_to_padding_mask(lens, M)
+    if "sample_mask" in batch:
+        real = batch["sample_mask"].astype(bool)
+        text_valid = text_valid & real[:, None]
+        mel_valid = mel_valid & real[:, None]
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    mt_loss = jnp.sum(ce * text_valid) / jnp.maximum(jnp.sum(text_valid), 1)
+
+    l1 = jnp.sum(jnp.abs(mel - mel_tgt) * mel_valid[:, :, None]) / \
+        jnp.maximum(jnp.sum(mel_valid) * D, 1)
+    stop_tgt = (jnp.arange(M)[None, :] == (lens - 1)[:, None]).astype(
+        jnp.float32)
+    bce = optax_sigmoid_bce(stop, stop_tgt)
+    stop_loss = jnp.sum(bce * mel_valid) / jnp.maximum(jnp.sum(mel_valid), 1)
+
+    loss = mt_loss_weight * mt_loss + l1 + stop_weight * stop_loss
+    return loss, {"metrics": {"loss": loss, "mt-loss": mt_loss,
+                              "l1-loss": l1, "stop-loss": stop_loss},
+                  "batch_stats": updates.get("batch_stats")}
+
+
 def optax_sigmoid_bce(logits, targets):
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)

@@ -12,6 +12,11 @@ from daspeech_tpu.models.fastspeech2 import (
 )
 from daspeech_tpu.models.hifigan import HiFiGANGenerator
 from daspeech_tpu.models.s2s_model import S2SConformerDAGFastSpeech2
+from daspeech_tpu.models.s2s_multidecoder import (
+    CausalTextDecoder,
+    S2SMultiDecoderModel,
+)
+from daspeech_tpu.models.tts_transformer import TTSTransformer
 
 __all__ = [
     "S2SConformerDAGFastSpeech2",
@@ -24,4 +29,7 @@ __all__ = [
     "FFNAdapter",
     "length_regulate",
     "HiFiGANGenerator",
+    "CausalTextDecoder",
+    "S2SMultiDecoderModel",
+    "TTSTransformer",
 ]

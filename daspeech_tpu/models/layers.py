@@ -167,6 +167,7 @@ class TransformerDecoderLayer(nn.Module):
     activation_dropout: float = 0.0
     activation: str = "gelu"
     normalize_before: bool = False
+    causal: bool = False      # AR decoders (e.g. the UnitY-style MT pass)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -186,7 +187,7 @@ class TransformerDecoderLayer(nn.Module):
             x = ln("self_attn_layer_norm")(x)
         x = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.attention_dropout,
-            dtype=self.dtype, name="self_attn",
+            causal=self.causal, dtype=self.dtype, name="self_attn",
         )(x, x, x, key_padding_mask=self_pad_mask, train=train)
         x = residual + drop(x)
         if not self.normalize_before:

@@ -214,6 +214,40 @@ class TestHiFiGAN:
         w = np.asarray(wav)
         assert np.isfinite(w).all() and np.abs(w).max() <= 1.0
 
+    def test_folded_serving_path_matches_direct(self):
+        """fold_to > 0 (space-to-depth tail, models/hifigan.py) must produce
+        the exact same waveform with the same parameter tree — it is a
+        reshuffled computation, not an approximation."""
+        cfg = HiFiGANConfig(
+            upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+            upsample_initial_channel=32, resblock_kernel_sizes=(3, 5),
+            resblock_dilation_sizes=((1, 3), (1, 3)))
+        direct = HiFiGANGenerator(cfg)
+        folded = HiFiGANGenerator(cfg, fold_to=16)   # folds the 8/4-ch tail
+        rng = np.random.default_rng(8)
+        mel = jnp.asarray(rng.normal(size=(2, 16, 80)).astype(np.float32))
+        params = direct.init(jax.random.key(0), mel)
+        # identical parameter structure: folded runs straight off them
+        wav_d = np.asarray(direct.apply(params, mel))
+        wav_f = np.asarray(folded.apply(params, mel))
+        assert wav_f.shape == wav_d.shape
+        np.testing.assert_allclose(wav_f, wav_d, rtol=1e-5, atol=1e-5)
+
+    def test_folded_resblock2_matches(self):
+        cfg = HiFiGANConfig(
+            resblock="2",
+            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),))
+        direct = HiFiGANGenerator(cfg)
+        folded = HiFiGANGenerator(cfg, fold_to=8)
+        rng = np.random.default_rng(9)
+        mel = jnp.asarray(rng.normal(size=(1, 8, 80)).astype(np.float32))
+        params = direct.init(jax.random.key(0), mel)
+        np.testing.assert_allclose(
+            np.asarray(folded.apply(params, mel)),
+            np.asarray(direct.apply(params, mel)), rtol=1e-5, atol=1e-5)
+
 
 class TestS2SModel:
     def test_end_to_end_synthesize(self):

@@ -126,6 +126,128 @@ class TestNatDagLoss:
         assert delta > 0
 
 
+class TestMeshDepth:
+    """Multi-chip evidence beyond one DP step: sharded eval parity,
+    metrics under the mesh, update-freq accumulation under the mesh, and
+    an uneven (sample_mask-padded) final batch under sharding."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+
+    def _setup(self, B=8, seed=5):
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(seed)
+        batch = make_batch(rng, cfg, B=B)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        return cfg, model, batch, variables
+
+    def test_sharded_eval_matches_unsharded(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from daspeech_tpu.train.step import shard_batch_specs
+
+        mesh = self._mesh()
+        cfg, model, batch, variables = self._setup()
+        pd = {"params": variables["params"],
+              "batch_stats": variables.get("batch_stats", {})}
+
+        def eval_loss(b):
+            loss, aux = nat_dag_loss(
+                model, pd, b, jax.random.key(3), jnp.asarray(0.0),
+                cfg.vocab, glance_strategy=None, train=False)
+            return loss, aux["metrics"]["ntokens"]
+
+        plain_loss, plain_ntok = jax.jit(eval_loss)(batch)
+
+        def sharded(b):
+            b = jax.lax.with_sharding_constraint(
+                b, shard_batch_specs(b, mesh, "data"))
+            return eval_loss(b)
+
+        sh_loss, sh_ntok = jax.jit(
+            sharded, out_shardings=NamedSharding(mesh, P()))(batch)
+        np.testing.assert_allclose(float(sh_loss), float(plain_loss),
+                                   rtol=1e-5)
+        assert int(sh_ntok) == int(plain_ntok)
+
+    def test_train_metrics_match_across_shardings(self):
+        mesh = self._mesh()
+        cfg, model, batch, variables = self._setup()
+        tx = make_optimizer(lr=1e-3, warmup_updates=10)
+
+        def loss_fn(pd, b, key, step):
+            return nat_dag_loss(model, pd, b, key, jnp.asarray(0.0),
+                                cfg.vocab, glance_strategy=None)
+
+        step = make_train_step(loss_fn, tx)
+        state = TrainState.create(variables, tx)
+        _, m_plain = jax.jit(step)(state, batch, jax.random.key(9))
+        state2 = TrainState.create(variables, tx)
+        _, m_mesh = jit_data_parallel(step, mesh)(
+            state2, batch, jax.random.key(9))
+        for k in ("loss", "ntokens", "nsentences", "gnorm"):
+            np.testing.assert_allclose(
+                float(m_mesh[k]), float(m_plain[k]), rtol=2e-3), k
+
+    def test_accumulation_under_mesh(self):
+        mesh = self._mesh()
+        cfg, model, batch, variables = self._setup()
+        tx = make_optimizer(lr=1e-3, warmup_updates=10)
+
+        def loss_fn(pd, b, key, step):
+            return nat_dag_loss(model, pd, b, key, jnp.asarray(0.0),
+                                cfg.vocab, glance_strategy=None)
+
+        stacked = {k: jnp.stack([v, v]) for k, v in batch.items()}
+        step2 = make_train_step(loss_fn, tx, accum_steps=2)
+        state = TrainState.create(variables, tx)
+        params0 = jax.tree.map(np.asarray, state.params)  # state is donated
+        new_state, m = jit_data_parallel(step2, mesh, batch_dim=1)(
+            state, stacked, jax.random.key(1))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(m["loss"]))
+        delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree.leaves(params0),
+            jax.tree.leaves(new_state.params)))
+        assert delta > 0
+
+    def test_uneven_final_batch_under_sharding(self):
+        """A bucket-fill padded batch (sample_mask zeros) sharded over the
+        mesh must produce the same loss as the unpadded batch unsharded."""
+        mesh = self._mesh()
+        cfg, model, batch, variables = self._setup(B=5)
+        pd = {"params": variables["params"],
+              "batch_stats": variables.get("batch_stats", {})}
+
+        def eval_loss(b):
+            loss, _ = nat_dag_loss(
+                model, pd, b, jax.random.key(3), jnp.asarray(0.0),
+                cfg.vocab, glance_strategy=None, train=False)
+            return loss
+
+        want = float(jax.jit(eval_loss)(batch))
+
+        idx = np.asarray([0, 1, 2, 3, 4, 0, 0, 0])
+        padded = {k: v[idx] for k, v in batch.items()}
+        padded["sample_mask"] = jnp.asarray(
+            [1.0] * 5 + [0.0] * 3)
+
+        from daspeech_tpu.train.step import shard_batch_specs
+
+        def sharded(b):
+            b = jax.lax.with_sharding_constraint(
+                b, shard_batch_specs(b, mesh, "data"))
+            return eval_loss(b)
+
+        got = float(jax.jit(sharded)(padded))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 class TestStepFeatures:
     def _setup(self, B=2):
         cfg = tiny_dag_cfg()
