@@ -1,0 +1,15 @@
+from daspeech_tpu.parallel.partition import (
+    jit_sharded,
+    make_mesh,
+    param_partition_spec,
+    state_shardings,
+    tree_shardings,
+)
+
+__all__ = [
+    "jit_sharded",
+    "make_mesh",
+    "param_partition_spec",
+    "state_shardings",
+    "tree_shardings",
+]

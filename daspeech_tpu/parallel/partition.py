@@ -1,0 +1,173 @@
+"""Multi-axis (data x sequence x tensor) GSPMD partitioning.
+
+The reference ships megatron-style tensor-parallel plumbing it never uses on
+the DASpeech path (``fairseq/fairseq/distributed/utils.py:506-525``) and does
+all scaling with bucketed-NCCL data parallelism. The TPU-native design goes
+further with zero runtime machinery: parameters carry Megatron partition
+specs (column-parallel fc1/qkv, row-parallel fc2/out-proj, vocab-sharded
+embedding — exactly the TP layout SURVEY.md section 2d prescribes for the
+vocab projection / logsoftmax_gather), the batch is split over ``data`` and
+the encoder's frame axis over ``seq``, and XLA GSPMD inserts every collective
+(psum over ICI for grads and row-parallel matmuls, all-gather for the
+sequence axis at attention) from those annotations alone. One jit replaces
+LegacyDistributedDataParallel + process groups + fast-stat-sync.
+
+Sharding annotations never change semantics — a step jitted over any mesh
+computes the same numbers (up to float reassociation) as a single device,
+which is what ``tests/test_parallel.py`` asserts on the 8-device CPU mesh.
+
+No pipeline/expert axes: the reference uses neither on this path (its
+torchpipe/MoE code is dead on DASpeech — SURVEY.md section 2d), the models
+are far too small to need PP (<100M params fits one v5e chip dozens of times
+over), and there is no MoE layer anywhere in the family.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# (path regex, rank, spec builder) — first match wins. The path is the
+# "/"-joined flax param path INCLUDING the optimizer-state prefix (optax
+# mu/nu trees repeat the param subtree, so suffix matching covers them too).
+def _rules(model_axis: str):
+    m = model_axis
+    return [
+        # Column-parallel up-projections: FFN fc1 / macaron w_1, the
+        # adaptor's fc1 (s2s_conformer_dag_fastspeech2.py:24-39), and fused
+        # qkv inputs. Output dim sharded; bias lives on the sharded dim.
+        (re.compile(r"(fc1|w_1)/kernel$"), 2, P(None, m)),
+        (re.compile(r"(fc1|w_1)/bias$"), 1, P(m)),
+        # Row-parallel down-projections: XLA inserts the psum.
+        (re.compile(r"(fc2|w_2)/kernel$"), 2, P(m, None)),
+        # Attention: head-sharded q/k/v (column) + row-parallel out.
+        (re.compile(r"(q_proj|k_proj|v_proj|linear_q|linear_k|linear_v|"
+                    r"linear_pos)/kernel$"), 2, P(None, m)),
+        (re.compile(r"(q_proj|k_proj|v_proj|linear_q|linear_k|linear_v)"
+                    r"/bias$"), 1, P(m)),
+        (re.compile(r"(out_proj|linear_out)/kernel$"), 2, P(m, None)),
+        # Rel-pos biases are per-head [H, dk]; heads follow the q/k shards.
+        (re.compile(r"pos_bias_[uv]$"), 2, P(m, None)),
+        # Vocab-sharded embedding => tied output projection emits
+        # vocab-sharded logits and the streaming logsoftmax_gather's
+        # logsumexp reduces over `model` (SURVEY.md section 2d's "TP of the
+        # vocab projection").
+        (re.compile(r"embed_tokens/embedding$"), 2, P(m, None)),
+    ]
+
+
+def param_partition_spec(path: str, leaf, model_axis: str = "model",
+                         mesh: Optional[Mesh] = None) -> P:
+    """PartitionSpec for one parameter, by path suffix + rank.
+
+    Anything unmatched (norms, conv modules, positional tables, variance
+    predictors, HiFi-GAN convs) stays replicated — they are tiny next to
+    the matmuls. When ``mesh`` is given, a rule only applies if every
+    sharded dim divides evenly; otherwise the leaf falls back to
+    replication (keeps tiny test models and odd vocab sizes valid).
+    """
+    for rx, rank, spec in _rules(model_axis):
+        if rx.search(path) and getattr(leaf, "ndim", None) == rank:
+            if mesh is not None:
+                size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                    model_axis, 1)
+                ok = all(ax is None or leaf.shape[d] % size == 0
+                         for d, ax in enumerate(spec))
+                if not ok:
+                    return P()
+            return spec
+    return P()
+
+
+def tree_shardings(tree, mesh: Mesh, model_axis: str = "model"):
+    """NamedShardings for a param-like pytree (params, grads, or the full
+    TrainState whose optax mu/nu subtrees repeat the param paths)."""
+    if model_axis not in mesh.axis_names:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in flat:
+        p = "/".join(str(getattr(k, "key", getattr(k, "name", k)))
+                     for k in path)
+        out.append(NamedSharding(
+            mesh, param_partition_spec(p, leaf, model_axis, mesh)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def state_shardings(state, mesh: Mesh, model_axis: str = "model"):
+    """Shardings for a TrainState: step replicated, params/opt-state by the
+    partition rules (suffix matching reaches through mu/nu wrappers)."""
+    return tree_shardings(state, mesh, model_axis)
+
+
+def make_mesh(n_devices: int,
+              axes: Sequence[Tuple[str, int]] = (("data", -1),),
+              devices=None) -> Mesh:
+    """Build a Mesh over the first ``n_devices`` jax devices.
+
+    ``axes`` is ((name, size), ...) with at most one -1 wildcard, e.g.
+    (("data", -1), ("seq", 2), ("model", 2)) on 8 devices -> data=2.
+    """
+    devs = list(devices if devices is not None else jax.devices())[:n_devices]
+    names = [a for a, _ in axes]
+    sizes = [s for _, s in axes]
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = max(1, n_devices // known)
+    total = int(np.prod(sizes))
+    if total != len(devs):
+        raise ValueError(f"mesh {dict(zip(names, sizes))} needs {total} "
+                         f"devices, have {len(devs)}")
+    return Mesh(np.array(devs).reshape(sizes), tuple(names))
+
+
+def shard_batch_specs(batch, mesh: Mesh, data_axis: str = "data",
+                      seq_axis: Optional[str] = None, batch_dim: int = 0,
+                      seq_keys: Sequence[str] = ("fbank",)):
+    """Batch shardings: batch dim over ``data``; optionally the frame axis
+    of the encoder input over ``seq`` (sequence parallelism for the longest
+    axis — fbank frames run to 6000, README.md:237)."""
+    def spec(k, v):
+        dims = [None] * v.ndim
+        if v.ndim > batch_dim and data_axis in mesh.axis_names:
+            dims[batch_dim] = data_axis
+        if (seq_axis and seq_axis in mesh.axis_names and k in seq_keys
+                and v.ndim > batch_dim + 1):
+            dims[batch_dim + 1] = seq_axis
+        return NamedSharding(mesh, P(*dims))
+
+    return {k: spec(k, v) for k, v in batch.items()}
+
+
+def jit_sharded(step_fn, mesh: Mesh, state, data_axis: str = "data",
+                seq_axis: Optional[str] = None,
+                model_axis: str = "model", batch_dim: int = 0,
+                donate: bool = True):
+    """jit a ``(state, batch, rng) -> (state, metrics)`` step over a
+    multi-axis mesh: TrainState sharded by the Megatron rules, batch split
+    over ``data`` (+frames over ``seq``), metrics replicated. The pure-DP
+    special case (mesh with only a data axis) degenerates to
+    ``train.jit_data_parallel`` semantics.
+    """
+    st_sh = state_shardings(state, mesh, model_axis)
+    replicated = NamedSharding(mesh, P())
+
+    def wrapped(state, batch, rng):
+        batch = jax.lax.with_sharding_constraint(
+            batch, shard_batch_specs(batch, mesh, data_axis, seq_axis,
+                                     batch_dim))
+        return step_fn(state, batch, rng)
+
+    return jax.jit(
+        wrapped,
+        in_shardings=(st_sh, None, replicated),
+        out_shardings=(st_sh, replicated),
+        donate_argnums=(0,) if donate else (),
+    )

@@ -1,0 +1,157 @@
+"""Multi-axis (data x seq x model) sharding tests on the 8-device CPU mesh.
+
+Exercises ``daspeech_tpu/parallel``: Megatron tensor-parallel partition
+rules, sequence-parallel encoder frames, and the combined dp x sp x tp train
+step — asserting numerical parity with the unsharded step (GSPMD sharding
+must never change semantics). The reference's megatron plumbing is untested
+and unused (``fairseq/fairseq/distributed/utils.py:506-525``); here the tp
+path is load-bearing and verified without hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from testutils import fast_init
+
+from daspeech_tpu.losses import nat_dag_loss
+from daspeech_tpu.models import S2TConformerDAG
+from daspeech_tpu.parallel import (
+    jit_sharded,
+    make_mesh,
+    param_partition_spec,
+    state_shardings,
+    tree_shardings,
+)
+from daspeech_tpu.train import TrainState, make_optimizer, make_train_step
+from test_models import tiny_dag_cfg
+from test_train import make_batch
+
+
+class TestPartitionRules:
+    def test_megatron_specs(self):
+        class L:
+            def __init__(self, shape):
+                self.shape = shape
+                self.ndim = len(shape)
+
+        cases = {
+            "params/dag/decoder/layers_0/ffn/fc1/kernel":
+                (L((16, 32)), P(None, "model")),
+            "params/dag/decoder/layers_0/ffn/fc1/bias":
+                (L((32,)), P("model")),
+            "params/dag/decoder/layers_0/ffn/fc2/kernel":
+                (L((32, 16)), P("model", None)),
+            "params/dag/encoder/layers_0/ffn1/w_1/kernel":
+                (L((16, 32)), P(None, "model")),
+            "params/dag/decoder/layers_0/self_attn/q_proj/kernel":
+                (L((16, 16)), P(None, "model")),
+            "params/dag/decoder/layers_0/self_attn/out_proj/kernel":
+                (L((16, 16)), P("model", None)),
+            "params/dag/encoder/layers_0/self_attn/pos_bias_u":
+                (L((2, 8)), P("model", None)),
+            "params/dag/decoder/embed_tokens/embedding":
+                (L((20, 16)), P("model", None)),
+            # unmatched -> replicated
+            "params/dag/decoder/layers_0/final_layer_norm/scale":
+                (L((16,)), P()),
+            "params/dag/encoder/layers_0/conv_module/depthwise_conv/kernel":
+                (L((7, 1, 16)), P()),
+            # optimizer-state prefix still matches by suffix
+            "opt_state/[1]/mu/dag/decoder/layers_0/ffn/fc1/kernel":
+                (L((16, 32)), P(None, "model")),
+        }
+        for path, (leaf, want) in cases.items():
+            assert param_partition_spec(path, leaf) == want, path
+
+    def test_indivisible_dims_fall_back_to_replication(self):
+        mesh = make_mesh(8, (("data", -1), ("model", 2)))
+
+        class L:
+            shape = (16, 33)   # 33 % 2 != 0
+            ndim = 2
+
+        got = param_partition_spec(
+            "x/ffn/fc1/kernel", L(), "model", mesh)
+        assert got == P()
+
+    def test_make_mesh_wildcard(self):
+        mesh = make_mesh(8, (("data", -1), ("seq", 2), ("model", 2)))
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 2, "seq": 2, "model": 2}
+        with pytest.raises(ValueError):
+            make_mesh(8, (("data", 3), ("model", 2)))
+
+
+class TestShardedTrainStep:
+    def _setup(self, B=8):
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(11)
+        batch = make_batch(rng, cfg, B=B, S=32)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        tx = make_optimizer(lr=1e-3, warmup_updates=10)
+
+        def loss_fn(pd, b, key, step):
+            return nat_dag_loss(model, pd, b, key, jnp.asarray(0.0),
+                                cfg.vocab, glance_strategy=None)
+
+        return cfg, model, batch, variables, tx, loss_fn
+
+    def test_dp_tp_sp_step_matches_unsharded(self):
+        """One step on a (data=2, seq=2, model=2) mesh == single-device."""
+        cfg, model, batch, variables, tx, loss_fn = self._setup()
+        mesh = make_mesh(8, (("data", -1), ("seq", 2), ("model", 2)))
+        step = make_train_step(loss_fn, tx)
+
+        ref_state = TrainState.create(variables, tx)
+        ref_new, ref_m = jax.jit(step)(ref_state, batch, jax.random.key(2))
+        ref_params = jax.tree.map(np.asarray, ref_new.params)
+
+        state = TrainState.create(variables, tx)
+        step_fn = jit_sharded(step, mesh, state, seq_axis="seq")
+        new_state, m = step_fn(state, batch, jax.random.key(2))
+
+        np.testing.assert_allclose(
+            float(m["loss"]), float(ref_m["loss"]), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(ref_params),
+                        jax.tree.leaves(new_state.params)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-5)
+
+    def test_params_actually_sharded(self):
+        """The fc1 kernels really live split over the model axis."""
+        cfg, model, batch, variables, tx, loss_fn = self._setup()
+        mesh = make_mesh(8, (("data", -1), ("model", 2)))
+        state = TrainState.create(variables, tx)
+        sh = state_shardings(state, mesh)
+        placed = jax.device_put(state, sh)
+        k = placed.params["decoder"]["layers_0"]["ffn"]["fc1"]["kernel"]
+        assert k.sharding.spec == P(None, "model")
+        # each shard holds half the output dim
+        shard_shapes = {s.data.shape for s in k.addressable_shards}
+        assert shard_shapes == {(16, 16)}
+
+        step_fn = jit_sharded(make_train_step(loss_fn, tx), mesh, state)
+        new_state, m = step_fn(placed, batch, jax.random.key(0))
+        k2 = new_state.params["decoder"]["layers_0"]["ffn"]["fc1"][
+            "kernel"]
+        assert k2.sharding.spec == P(None, "model")
+        assert np.isfinite(float(m["loss"]))
+
+    def test_two_steps_chain(self):
+        """Output shardings feed back as input shardings (state round-trip)."""
+        cfg, model, batch, variables, tx, loss_fn = self._setup()
+        mesh = make_mesh(8, (("data", 2), ("seq", 2), ("model", 2)))
+        state = TrainState.create(variables, tx)
+        step_fn = jit_sharded(make_train_step(loss_fn, tx), mesh, state,
+                              seq_axis="seq")
+        s1, m1 = step_fn(state, batch, jax.random.key(0))
+        s2, m2 = step_fn(s1, batch, jax.random.key(1))
+        assert int(s2.step) == 2
+        assert np.isfinite(float(m2["loss"]))
+        assert float(m2["loss"]) < float(m1["loss"]) + 1.0
