@@ -17,6 +17,7 @@ needs no loss scaling, and XLA inserts the collectives.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -96,6 +97,10 @@ def parse_args(argv=None):
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--save-interval-updates", type=int, default=2000)
     p.add_argument("--validate-interval-updates", type=int, default=2000)
+    p.add_argument("--eval-inference", action="store_true",
+                   help="during TTS validation also synthesize with "
+                        "predicted durations and report corpus MCD "
+                        "(``tasks/text_to_speech.py`` eval-inference)")
     p.add_argument("--keep-last-checkpoints", type=int, default=5)
     p.add_argument("--train-subset", default="train")
     p.add_argument("--valid-subset", default="dev")
@@ -356,6 +361,45 @@ def main(argv=None):
         lambda pd, b, key: eval_loss_fn(pd, b, key)[1]["metrics"])
         if uses_valid_loss else None)
 
+    # --eval-inference: during TTS validation also synthesize with
+    # PREDICTED durations and report corpus MCD, the reference's
+    # ``text_to_speech`` eval-inference metric
+    # (``fairseq/fairseq/tasks/text_to_speech.py`` batch_mel_cepstral_distortion;
+    # regression target MCD 3.2 +/- 0.1, ``tests/speech/test_fastspeech2.py``).
+    tts_infer = None
+    if is_tts and args.eval_inference:
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def tts_infer(pd, tokens, max_out_len):
+            mel, mel_post, out_lens, _, _, _ = model.apply(
+                pd, src_tokens=tokens, max_out_len=max_out_len)
+            return (mel_post if mel_post is not None else mel), out_lens
+
+    def validate_mcd(cur_state, max_utts: int = 64):
+        from daspeech_tpu.eval.mcd import mel_cepstral_distortion
+
+        vit = task.get_batch_iterator(
+            args.valid_subset, max_sentences=args.max_sentences,
+            seed=args.seed)
+        params_d = {"params": cur_state.params}
+        if cur_state.batch_stats:
+            params_d["batch_stats"] = cur_state.batch_stats
+        vals = []
+        for spec, idxs in vit.batches_for_epoch(0):
+            b = vit.collate(spec, idxs)
+            M = int(b["target_audio"].shape[1])
+            mel, out_lens = tts_infer(
+                params_d, jnp.asarray(b["src_tokens"]), 2 * M)
+            mel, out_lens = np.asarray(mel), np.asarray(out_lens)
+            for i in range(len(idxs)):
+                if b["sample_mask"][i] == 0 or len(vals) >= max_utts:
+                    break
+                hyp = mel[i, : max(int(out_lens[i]), 1)]
+                ref = b["target_audio"][i, : int(b["target_audio_lengths"][i])]
+                vals.append(mel_cepstral_distortion(hyp, ref))
+            if len(vals) >= max_utts:
+                break
+        return float(np.mean(vals)) if vals else None
+
     def validate_loss(cur_state):
         """Mean per-sentence valid loss, sample_mask-weighted."""
         if not uses_valid_loss:
@@ -456,6 +500,12 @@ def main(argv=None):
                             logger.print({"valid_loss": round(vloss, 4)},
                                          update, epoch)
                             metric = vloss
+                        if tts_infer is not None:
+                            mcd = validate_mcd(state)
+                            if mcd is not None:
+                                logger.print(
+                                    {"valid_mcd": round(mcd, 3)},
+                                    update, epoch)
                 if need_save:
                     ckpt.save(state, update, metric=metric,
                               extra={"epoch": epoch,

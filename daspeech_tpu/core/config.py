@@ -72,6 +72,10 @@ class DecodeConfig:
     top_p: float = 0.9
     dedup: bool = False
     max_output_length: Optional[int] = None
+    # NAT length beam (``iter_decode_with_beam``): decode `length_beam`
+    # graph sizes around lambda*src_len and keep the best-scoring candidate
+    # (``s2t_nat_generator.py:59-76,212-230``). Recipes use 1.
+    length_beam: int = 1
 
 
 @dataclass(frozen=True)

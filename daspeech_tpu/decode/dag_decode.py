@@ -204,6 +204,26 @@ def viterbi_decode(
                         feat_idx.astype(jnp.int32), count)
 
 
+def path_score(
+    unreduced_logits: jnp.ndarray,   # [B, L] max token logprob per vertex
+    result: DecodeResult,
+    include_start: bool = True,
+) -> jnp.ndarray:
+    """Mean per-token logprob along the decoded path — the "score" used to
+    pick among length-beam candidates (``s2t_nat_generator.py:97-118``:
+    score = positional_scores.mean()). ``include_start`` adds the start
+    vertex's token (slot 0 carries no feat_idx under lookahead/greedy)."""
+    B, L = unreduced_logits.shape
+    idx = result.feat_idx
+    valid = idx >= 0
+    safe = jnp.clip(idx, 0, L - 1)
+    picked = jnp.take_along_axis(unreduced_logits, safe, axis=1)
+    total = jnp.sum(jnp.where(valid, picked, 0.0), axis=1)
+    if include_start:
+        total = total + unreduced_logits[:, 0]
+    return total / jnp.maximum(result.lengths.astype(total.dtype), 1)
+
+
 def gather_path_features(
     features: jnp.ndarray,     # [B, L, D]
     result: DecodeResult,

@@ -20,10 +20,80 @@ import numpy as np
 
 from daspeech_tpu.core.config import DecodeConfig
 from daspeech_tpu.decode.dag_decode import (
+    DecodeResult,
     gather_path_features,
     greedy_or_lookahead_decode,
+    path_score,
     viterbi_decode,
 )
+
+
+def _strategy_decode(cfg: DecodeConfig, vocab, logits, links, prev):
+    """Dispatch one decode strategy on [B, L, V] logits / [B, L, L] links."""
+    ol = jnp.sum(prev != vocab.pad, axis=1)
+    if cfg.strategy in ("lookahead", "greedy"):
+        return greedy_or_lookahead_decode(
+            logits, links, ol, vocab.pad, cfg.beta,
+            lookahead=cfg.strategy == "lookahead")
+    if cfg.strategy in ("viterbi", "jointviterbi"):
+        return viterbi_decode(
+            logits, links, ol, vocab.pad, cfg.beta, cfg.viterbibeta,
+            joint=cfg.strategy == "jointviterbi",
+            max_length=cfg.max_output_length or max(2, prev.shape[1] // 4))
+    if cfg.strategy == "beamsearch":
+        from daspeech_tpu.decode.beam_search import beam_search_decode
+
+        return beam_search_decode(
+            logits, links, ol, vocab.pad, vocab.bos,
+            beam_size=int(cfg.beamsize),
+            top_cand_n=int(cfg.top_cand_n),
+            decode_beta=cfg.beta, decode_alpha=cfg.alpha,
+            top_p=cfg.top_p, dedup=cfg.dedup,
+            max_steps=cfg.max_output_length or 0)
+    raise NotImplementedError(cfg.strategy)
+
+
+def dag_forward_decode(model, params, fbank, src_lengths, prev, vocab,
+                       cfg: DecodeConfig):
+    """Encoder -> (length-beam expanded) decoder -> decode strategy.
+
+    ``cfg.length_beam > 1`` implements the NAT length beam
+    (``s2t_nat_generator.py:59-76`` + ``regenerate_length_beam``,
+    ``nonautoregressive_transformer.py:177-196``): the encoder runs ONCE
+    and its output is tiled (the reference's ``reorder_encoder_out``);
+    ``length_beam`` graph sizes around lambda*src_len are decoded and the
+    candidate with the best mean per-token logprob survives — the
+    reference's no-reranker selection ``argmax(score)``
+    (``s2t_nat_generator.py:217-230``). Returns (DecodeResult, features),
+    both at the original batch size.
+    """
+    from daspeech_tpu.models import initialize_output_tokens
+
+    beam = max(1, int(cfg.length_beam))
+    enc, enc_pad, _ = model.apply(
+        params, fbank, src_lengths, method=model.encode)
+    if beam > 1:
+        B, L = prev.shape
+        glen = jnp.sum(prev != vocab.pad, axis=1)
+        offs = jnp.arange(beam, dtype=glen.dtype) - beam // 2
+        glen_b = jnp.clip((glen[:, None] + offs[None, :]).reshape(-1), 2, L)
+        prev = initialize_output_tokens(glen_b, L, vocab)
+        enc = jnp.repeat(enc, beam, axis=0)
+        enc_pad = jnp.repeat(enc_pad, beam, axis=0)
+    logits, links, feats = model.apply(
+        params, prev, enc, enc_pad, method=model.decode)
+    res = _strategy_decode(cfg, vocab, logits, links, prev)
+    if beam > 1:
+        logp_max = jnp.max(
+            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), axis=-1)
+        sc = path_score(
+            logp_max, res,
+            include_start=cfg.strategy in ("lookahead", "greedy"))
+        best = jnp.argmax(sc.reshape(-1, beam), axis=1)
+        rows = jnp.arange(best.shape[0]) * beam + best
+        res = DecodeResult(*(x[rows] for x in res))
+        feats = feats[rows]
+    return res, feats
 
 
 class S2TNATGenerator:
@@ -41,31 +111,8 @@ class S2TNATGenerator:
 
         @jax.jit
         def run(params, fbank, src_lengths, prev):
-            logits, links, feats = model.apply(
-                params, fbank, src_lengths, prev)
-            ol = jnp.sum(prev != vocab.pad, axis=1)
-            if cfg.strategy in ("lookahead", "greedy"):
-                res = greedy_or_lookahead_decode(
-                    logits, links, ol, vocab.pad, cfg.beta,
-                    lookahead=cfg.strategy == "lookahead")
-            elif cfg.strategy in ("viterbi", "jointviterbi"):
-                res = viterbi_decode(
-                    logits, links, ol, vocab.pad, cfg.beta, cfg.viterbibeta,
-                    joint=cfg.strategy == "jointviterbi",
-                    max_length=cfg.max_output_length or max(2, prev.shape[1] // 4))
-            elif cfg.strategy == "beamsearch":
-                from daspeech_tpu.decode.beam_search import beam_search_decode
-
-                res = beam_search_decode(
-                    logits, links, ol, vocab.pad, vocab.bos,
-                    beam_size=int(cfg.beamsize),
-                    top_cand_n=int(cfg.top_cand_n),
-                    decode_beta=cfg.beta, decode_alpha=cfg.alpha,
-                    top_p=cfg.top_p, dedup=cfg.dedup,
-                    max_steps=cfg.max_output_length or 0)
-            else:
-                raise NotImplementedError(cfg.strategy)
-            return res, feats
+            return dag_forward_decode(
+                model, params, fbank, src_lengths, prev, vocab, cfg)
 
         return run
 
@@ -113,18 +160,8 @@ class S2SNATGenerator(S2TNATGenerator):
 
         @jax.jit
         def run(params, fbank, src_lengths, prev):
-            logits, links, feats = model.apply(
-                params, fbank, src_lengths, prev)
-            ol = jnp.sum(prev != vocab.pad, axis=1)
-            if cfg.strategy in ("lookahead", "greedy"):
-                res = greedy_or_lookahead_decode(
-                    logits, links, ol, vocab.pad, cfg.beta,
-                    lookahead=cfg.strategy == "lookahead")
-            else:
-                res = viterbi_decode(
-                    logits, links, ol, vocab.pad, cfg.beta, cfg.viterbibeta,
-                    joint=cfg.strategy == "jointviterbi",
-                    max_length=cfg.max_output_length or max(2, prev.shape[1] // 4))
+            res, feats = dag_forward_decode(
+                model, params, fbank, src_lengths, prev, vocab, cfg)
             z, zmask = gather_path_features(feats, res, skip_first=skip_first)
             mel, mel_post, mel_lens, _, _, _ = model.apply(
                 params, z, zmask, M, method=model.synthesize,

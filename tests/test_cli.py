@@ -138,6 +138,51 @@ class TestTTSCLI:
         assert losses and all(np.isfinite(losses))
         assert any("l1-loss" in r for r in recs)
 
+    def test_tts_eval_inference_reports_mcd(self, tmp_path, capsys):
+        """--eval-inference synthesizes with predicted durations during TTS
+        validation and logs corpus MCD (``tasks/text_to_speech.py``)."""
+        rng = np.random.default_rng(2)
+        d, rows, _ = make_dataset(tmp_path, rng, n=6, s2s=True)
+        tts_rows = []
+        for r in rows:
+            tts_rows.append({
+                "id": r["id"], "audio": r["tgt_audio"],
+                "n_frames": r["tgt_n_frames"], "tgt_text": r["tgt_text"],
+                "duration": r["duration"], "pitch": r["pitch"],
+                "energy": r["energy"]})
+        for split in ("train", "dev"):
+            with open(tmp_path / f"{split}.tsv", "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(tts_rows[0].keys()),
+                                   delimiter="\t")
+                w.writeheader()
+                for r in tts_rows:
+                    w.writerow(r)
+        d.save(tmp_path / "vocab.txt")
+        tts_yaml = {"encoder_layers": 1, "encoder_embed_dim": 16,
+                    "encoder_heads": 2, "decoder_layers": 1,
+                    "decoder_embed_dim": 16, "decoder_heads": 2,
+                    "fft_hidden_dim": 32, "var_pred_hidden_dim": 16,
+                    "var_pred_n_bins": 8}
+        (tmp_path / "tts.yaml").write_text(yaml.safe_dump(tts_yaml))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "text_to_speech",
+            "--criterion", "fastspeech2",
+            "--model-yaml", str(tmp_path / "tts.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-sentences", "4",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--validate-interval-updates", "2",
+            "--valid-subset", "dev", "--eval-inference",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        mcds = [r["valid_mcd"] for r in recs if "valid_mcd" in r]
+        assert mcds and all(np.isfinite(m) and m > 0 for m in mcds)
+
 
 class TestValidationBLEU:
     def test_s2t_with_eval_bleu_validation(self, tmp_path, capsys):
