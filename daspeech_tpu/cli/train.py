@@ -127,6 +127,12 @@ def parse_args(argv=None):
                         "multilingual vocabularies)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 5-15 to DIR")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype (params stay fp32; the DAG DP "
+                        "always runs fp32 — replaces the reference's fp16 "
+                        "optimizer + DynamicLossScaler, which bf16 does not "
+                        "need)")
     return p.parse_args(argv)
 
 
@@ -179,13 +185,16 @@ def main(argv=None):
     model_cfg = build_model_cfg(args, vocab)
     is_s2s = args.criterion == "s2s_dag_fastspeech2_loss"
     is_tts = args.criterion == "fastspeech2"
+    # bf16 compute / fp32 params replaces the reference's fp16+loss-scaling
+    # stack; the DAG DP itself always accumulates in fp32 (ops/dag_ref.py)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if is_tts:
         model = FastSpeech2Encoder(model_cfg, vocab_size=vocab.size,
-                                   pad=vocab.pad)
+                                   pad=vocab.pad, dtype=dtype)
     elif is_s2s:
-        model = S2SConformerDAGFastSpeech2(model_cfg)
+        model = S2SConformerDAGFastSpeech2(model_cfg, dtype=dtype)
     else:
-        model = S2TConformerDAG(model_cfg)
+        model = S2TConformerDAG(model_cfg, dtype=dtype)
 
     # --- init params with one real batch shape
     if is_tts:
@@ -320,6 +329,19 @@ def main(argv=None):
         generator = task.build_generator(
             model, DecodeConfig(strategy="lookahead"))
 
+    # eval-BLEU detokenization: BPE decode then pre-tokenizer decode, from
+    # the data config's tokenizer declarations (identity for the recipes'
+    # phoneme vocab) — ``nat_speech_to_text.py`` decode_fn semantics.
+    from daspeech_tpu.data.encoders import build_bpe, build_tokenizer
+
+    _bpe = build_bpe(task.data_cfg.bpe_tokenizer
+                     if task.data_cfg is not None else None)
+    _pretok = build_tokenizer(task.data_cfg.pre_tokenizer
+                              if task.data_cfg is not None else None)
+
+    def detok(s: str) -> str:
+        return _pretok.decode(_bpe.decode(s))
+
     def validate(cur_state):
         if not has_valid or generator is None:
             return None
@@ -337,8 +359,8 @@ def main(argv=None):
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             out = generator.generate(params_d, jb)
             for i, local in enumerate(idxs):
-                hyps.append(task.tgt_dict.string(out[i]["tokens"]))
-                refs.append(vit.dataset._tgt_text(int(local)))
+                hyps.append(detok(task.tgt_dict.string(out[i]["tokens"])))
+                refs.append(detok(vit.dataset._tgt_text(int(local))))
         return corpus_bleu(hyps, refs)
 
     # validation loss for the TTS and joint-S2S stages: the reference

@@ -82,6 +82,18 @@ class S2TDataConfig:
     def vocoder(self) -> Dict[str, str]:
         return self._abspath(self.config.get("vocoder", {}))
 
+    @property
+    def pre_tokenizer(self) -> Dict:
+        """``pre_tokenizer: {tokenizer: NAME, ...}`` (``data_cfg.py:66-73``);
+        build with ``data.encoders.build_tokenizer``."""
+        return self.config.get("pre_tokenizer", {"tokenizer": None})
+
+    @property
+    def bpe_tokenizer(self) -> Dict:
+        """``bpe_tokenizer: {bpe: NAME, ...}`` (``data_cfg.py:75-81``);
+        build with ``data.encoders.build_bpe``."""
+        return self.config.get("bpe_tokenizer", {"bpe": None})
+
     def transform_names(self, split: str, is_train: bool) -> List[str]:
         """Resolve the transform-name list for a split with the reference's
         wildcard order: exact split, then ``_train``/``_eval``, then ``*``

@@ -127,3 +127,62 @@ class TestTaskWiring:
         task = NATSpeechToTextTask.setup_task(TaskConfig(data_dir=str(tmp_path)))
         ds = task.load_dataset("train")
         assert ds.transforms is None
+
+
+class TestEncoders:
+    """Pre-tokenizer / BPE registry (``fairseq/fairseq/data/encoders/``)."""
+
+    def test_identity_default(self):
+        from daspeech_tpu.data.encoders import build_bpe, build_tokenizer
+
+        t = build_tokenizer(None)
+        b = build_bpe({"bpe": None})
+        assert t.encode("a  b") == "a  b"
+        assert b.decode(t.decode("x y")) == "x y"
+
+    def test_space_tokenizer(self):
+        from daspeech_tpu.data.encoders import build_tokenizer
+
+        t = build_tokenizer({"tokenizer": "space"})
+        assert t.encode(" a\t b\n c ") == "a b c"
+        assert t.decode("a b c") == "a b c"
+
+    def test_characters_roundtrip(self):
+        from daspeech_tpu.data.encoders import build_bpe
+
+        b = build_bpe({"bpe": "characters"})
+        enc = b.encode("ab cd")
+        assert enc.split() == ["a", "b", "▁", "c", "d"]
+        assert b.decode(enc) == "ab cd"
+
+    def test_bytes_roundtrip(self):
+        from daspeech_tpu.data.encoders import build_bpe
+
+        b = build_bpe({"bpe": "bytes"})
+        s = "héllo"
+        assert b.decode(b.encode(s)) == s
+
+    def test_unknown_name_raises(self):
+        import pytest
+
+        from daspeech_tpu.data.encoders import build_bpe, build_tokenizer
+
+        with pytest.raises(ValueError):
+            build_tokenizer({"tokenizer": "nope"})
+        with pytest.raises(ValueError):
+            build_bpe({"bpe": "nope"})
+
+    def test_data_cfg_tokenizer_dicts(self, tmp_path):
+        import yaml
+
+        from daspeech_tpu.data.data_cfg import S2TDataConfig
+
+        y = tmp_path / "config.yaml"
+        y.write_text(yaml.safe_dump({
+            "vocab_filename": "vocab.txt",
+            "pre_tokenizer": {"tokenizer": "space"},
+            "bpe_tokenizer": {"bpe": "characters"},
+        }))
+        cfg = S2TDataConfig(y)
+        assert cfg.pre_tokenizer == {"tokenizer": "space"}
+        assert cfg.bpe_tokenizer == {"bpe": "characters"}
