@@ -59,13 +59,27 @@ def fast_init(model, key, method):
     return jax.tree_util.tree_unflatten(td, leaves)
 
 
+def sync(out):
+    """Force true completion: read one element back to the host.
+
+    Over the axon tunnel ``jax.block_until_ready`` returns before the device
+    has finished (measured: a 200 ms train step "completes" in 1.6 ms by
+    block_until_ready but takes 200.0 ms wall when a scalar is fetched).
+    TPU programs execute in order on the stream, so materializing any
+    element of the LAST call's output proves every prior call finished.
+    """
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
+    x = leaves[-1]
+    np.asarray(jax.device_get(x.ravel()[:1] if x.ndim else x))
+
+
 def timeit(fn, *args, n=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -142,14 +156,14 @@ def main():
 
     t = time.perf_counter()
     o1 = stage1(fbank, src_lengths, prev)
-    jax.block_until_ready(o1)
+    sync(o1)
     log(f"stage1 (DAG+decode) compiled in {time.perf_counter()-t:.0f}s")
     t = time.perf_counter()
     o2 = stage2(o1[1], o1[2], durs)
-    jax.block_until_ready(o2)
+    sync(o2)
     log(f"stage2 (FastSpeech2) compiled in {time.perf_counter()-t:.0f}s")
     t = time.perf_counter()
-    jax.block_until_ready(stage3(o2))
+    sync(stage3(o2))
     log(f"stage3 (HiFi-GAN folded) compiled in {time.perf_counter()-t:.0f}s")
 
     # --- config 3: S2TT lookahead decode (speech seconds per wall second)
@@ -179,7 +193,7 @@ def main():
         log(f"train-step bench failed: {type(e).__name__}: {e}")
 
     # --- config 4 (headline, LAST): full two-pass S2ST
-    jax.block_until_ready(s2st(fbank, src_lengths, prev, durs))
+    sync(s2st(fbank, src_lengths, prev, durs))
     dt = timeit(s2st, fbank, src_lengths, prev, durs)
     rtf_x = audio_seconds / dt
     results.append({"metric": "e2e_s2st_rtf_x_realtime",

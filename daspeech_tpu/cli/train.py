@@ -127,6 +127,9 @@ def parse_args(argv=None):
                         "multilingual vocabularies)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 5-15 to DIR")
+    p.add_argument("--tensorboard-logdir", default=None,
+                   help="also mirror progress stats to TensorBoard "
+                        "(``logging/progress_bar.py`` tensorboard backend)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay fp32; the DAG DP "
@@ -318,7 +321,12 @@ def main(argv=None):
         make_train_step(loss_fn, tx, accum_steps=args.update_freq), mesh,
         batch_dim=1 if args.update_freq > 1 else 0)
 
-    logger = JsonProgressLogger(log_interval=args.log_interval)
+    sinks = []
+    if args.tensorboard_logdir:
+        from daspeech_tpu.train.metrics import TensorboardSink
+
+        sinks.append(TensorboardSink(args.tensorboard_logdir))
+    logger = JsonProgressLogger(log_interval=args.log_interval, sinks=sinks)
     agg = MetricsAggregator()
     rng = jax.random.key(args.seed)
 

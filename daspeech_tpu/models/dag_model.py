@@ -144,8 +144,12 @@ class GlatLinkDecoder(nn.Module):
         H = self.num_heads
         dk = self.embed_dim // H
 
-        q = self.query_linear(feats).reshape(B, L, H, dk).astype(jnp.float32)
-        k = self.key_linear(feats).reshape(B, L, H, dk).astype(jnp.float32)
+        # q/k stay in the model compute dtype (bf16 under --dtype bfloat16,
+        # exactly the reference's fp16-autocast regime for this matmul —
+        # ``nat_speech_to_text.py:241-291``); the einsum ACCUMULATES in f32
+        # and everything downstream (softmax, gating, the DAG DP) is f32.
+        q = self.query_linear(feats).reshape(B, L, H, dk)
+        k = self.key_linear(feats).reshape(B, L, H, dk)
         log_gates = jax.nn.log_softmax(
             self.gate_linear(feats).astype(jnp.float32), axis=-1)  # [B, L, H]
         scores = jnp.einsum("bihd,bjhd->bijh", q, k,

@@ -94,22 +94,43 @@ class JsonProgressLogger:
     """``--log-format json`` progress (``logging/progress_bar.py``)."""
 
     def __init__(self, stream=None, log_interval: int = 100,
-                 tag: str = "train"):
+                 tag: str = "train", sinks=()):
         self.stream = stream or sys.stdout
         self.log_interval = log_interval
         self.tag = tag
+        self.sinks = list(sinks)   # e.g. TensorboardSink
 
     def log(self, stats: Dict[str, Any], step: int, epoch: int = 0):
         if step % self.log_interval:
             return
-        rec = {"tag": self.tag, "epoch": epoch, "update": step, **stats}
-        self.stream.write(json.dumps(rec) + "\n")
-        self.stream.flush()
+        self.print(stats, step, epoch)
 
     def print(self, stats: Dict[str, Any], step: int, epoch: int = 0):
         rec = {"tag": self.tag, "epoch": epoch, "update": step, **stats}
         self.stream.write(json.dumps(rec) + "\n")
         self.stream.flush()
+        for sink in self.sinks:
+            sink(stats, step, self.tag)
+
+
+class TensorboardSink:
+    """TensorBoard progress sink (``logging/progress_bar.py:27-116``'s
+    tensorboard backend), lazily importing torch's SummaryWriter. Attach
+    with ``JsonProgressLogger(sinks=[TensorboardSink(dir)])``."""
+
+    def __init__(self, logdir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._w = SummaryWriter(log_dir=str(logdir))
+
+    def __call__(self, stats: Dict[str, Any], step: int, tag: str):
+        for k, v in stats.items():
+            if isinstance(v, (int, float)) and k not in ("epoch", "update"):
+                self._w.add_scalar(f"{tag}/{k}", v, step)
+        self._w.flush()
+
+    def close(self):
+        self._w.close()
 
 
 @contextlib.contextmanager

@@ -384,3 +384,29 @@ class TestEvalPipeline:
         # decoded features exist for every utterance
         feats = list((tmp_path / "results" / "feat").glob("*.npy"))
         assert len(feats) == 4
+
+
+class TestTensorboardSink:
+    def test_tb_events_written(self, tmp_path, capsys):
+        """--tensorboard-logdir mirrors progress stats to event files."""
+        rng = np.random.default_rng(4)
+        write_corpus(tmp_path, rng, s2s=False, n=6)
+        tiny = dict(TINY_MODEL)
+        (tmp_path / "model.yaml").write_text(yaml.safe_dump(tiny))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--criterion", "nat_dag_loss",
+            "--model-yaml", str(tmp_path / "model.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-tokens", "2000",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--valid-subset", "missing",
+            "--tensorboard-logdir", str(tmp_path / "tb"),
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        events = list((tmp_path / "tb").glob("events.out.tfevents.*"))
+        assert events and events[0].stat().st_size > 0
