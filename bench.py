@@ -214,7 +214,9 @@ def bench_train_step():
     from daspeech_tpu.train import TrainState, make_optimizer, make_train_step
 
     cfg = DAGModelConfig(vocab=VocabConfig(size=128))
-    model = S2TConformerDAG(cfg)
+    # bf16 compute / fp32 params, the recipe-faithful regime (the reference
+    # trains fp16 under AMP, README.md:245); the DAG DP stays fp32 inside.
+    model = S2TConformerDAG(cfg, dtype=jnp.bfloat16)
     B, S, L, T = 80, 480, 240, 64
     rng = np.random.default_rng(0)
     fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from daspeech_tpu.ops import (
     dag_best_alignment,
     dag_logsoftmax_gather,
+    dag_logsoftmax_gather_tokens,
     dag_loss,
     dag_loss_with_alpha_beta,
 )
@@ -96,8 +97,7 @@ def glat_glance(
     if logits is not None:
         logits = jax.lax.stop_gradient(logits)
         pred_tokens = jnp.argmax(logits, axis=-1)                  # [B, L]
-        match = dag_logsoftmax_gather(
-            logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+        match = dag_logsoftmax_gather_tokens(logits, tgt_tokens)
         match = jnp.swapaxes(match, 1, 2)                          # [B, T, L]
     else:
         pred_tokens = jax.lax.stop_gradient(pred_tokens)
@@ -205,8 +205,7 @@ def compute_dag_loss(
              else sample_mask.astype(jnp.float32))
 
     if match_all is None:
-        match = dag_logsoftmax_gather(
-            logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+        match = dag_logsoftmax_gather_tokens(logits, tgt_tokens)
         match_all = jnp.swapaxes(match, 1, 2)                      # [B, T, L]
     if matchmask is not None:
         match_all = force_emit_match(

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from daspeech_tpu.losses.dag_loss import compute_dag_loss, glat_glance
 from daspeech_tpu.losses.fastspeech2_loss import fastspeech2_losses
 from daspeech_tpu.models.layers import lengths_to_padding_mask
-from daspeech_tpu.ops import dag_best_alignment, dag_logsoftmax_gather
+from daspeech_tpu.ops import (
+    dag_best_alignment, dag_logsoftmax_gather, dag_logsoftmax_gather_tokens)
 
 
 def conditional_stop_gradient(x, frozen):
@@ -77,9 +78,8 @@ def argmax_path_features(logits, links, tgt_tokens, prev_output_tokens,
     target_length = jnp.sum(tgt_tokens != pad, axis=1)
 
     if match_all is None:
-        match = dag_logsoftmax_gather(
-            jax.lax.stop_gradient(logits),
-            jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)))
+        match = dag_logsoftmax_gather_tokens(
+            jax.lax.stop_gradient(logits), tgt_tokens)
         match = jnp.swapaxes(match, 1, 2)
     else:
         match = jax.lax.stop_gradient(match_all)

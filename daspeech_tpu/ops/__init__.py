@@ -25,6 +25,7 @@ from daspeech_tpu.ops.dag_banded import (
 from daspeech_tpu.ops.dag_ref import (
     dag_best_alignment,
     dag_logsoftmax_gather,
+    dag_logsoftmax_gather_tokens,
     dag_loss,
     dag_loss_forward,
     dag_loss_with_alpha_beta,
@@ -36,6 +37,7 @@ __all__ = [
     "dag_best_alignment",
     "dag_best_alignment_banded",
     "dag_logsoftmax_gather",
+    "dag_logsoftmax_gather_tokens",
     "dag_loss",
     "dag_loss_banded",
     "dag_loss_banded_with_alpha_beta",

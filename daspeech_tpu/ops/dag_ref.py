@@ -294,6 +294,40 @@ def dag_logsoftmax_gather(
     return picked - logz
 
 
+def dag_logsoftmax_gather_tokens(
+    word_ins_out: jnp.ndarray,    # [B, L, V] logits
+    tgt_tokens: jnp.ndarray,      # [B, T] int32 target tokens
+    onehot_max_vocab: int = 4096,
+) -> jnp.ndarray:
+    """``dag_logsoftmax_gather`` specialized to the criterion's actual
+    access pattern: every graph vertex gathers the SAME [B, T] target row
+    (``nat_dag_loss.py:130-132`` broadcasts the target over prelen).
+
+    For small vocabularies the gather becomes a one-hot matmul — on TPU a
+    [B,L,V]x[B,V,T] batched matmul on the MXU with a matmul VJP, instead of
+    a per-element gather with a scatter-add VJP (measured 15.4 ms -> MXU
+    noise at recipe shapes, and the gather runs twice per GLAT step). For
+    V > onehot_max_vocab the one-hot would dominate memory; fall back to
+    the gather (or use ``ops/fused_vocab.py`` which never materializes
+    logits at all).
+
+    Returns match [B, L, T] float32 log-probabilities.
+    """
+    B, L, V = word_ins_out.shape
+    logits = word_ins_out.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1, keepdims=True)       # [B, L, 1]
+    if V <= onehot_max_vocab:
+        onehot = jax.nn.one_hot(tgt_tokens, V, dtype=jnp.float32)  # [B, T, V]
+        picked = jnp.einsum("blv,btv->blt", logits, onehot,
+                            preferred_element_type=jnp.float32)
+    else:
+        T = tgt_tokens.shape[1]
+        picked = jnp.take_along_axis(
+            logits, jnp.broadcast_to(tgt_tokens[:, None, :], (B, L, T)),
+            axis=-1)
+    return picked - logz
+
+
 def torch_style_dag_loss(match_all, links, output_length, target_length):
     """Non-custom-VJP scan version (autodiff-through-scan); used in tests to
     cross-check the closed-form gradients, mirroring the reference's

@@ -249,3 +249,38 @@ class TestBandConversions:
         l1 = dag_loss(match, full_again, ol, tl)
         l2 = dag_loss(match, band_to_full(full_to_band(full_again, W)), ol, tl)
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+
+
+class TestGatherTokensVariant:
+    def test_matches_general_gather(self):
+        from daspeech_tpu.ops import (
+            dag_logsoftmax_gather, dag_logsoftmax_gather_tokens)
+
+        rng = np.random.default_rng(0)
+        B, L, V, T = 3, 10, 17, 5
+        logits = jnp.asarray(rng.normal(size=(B, L, V)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(0, V, size=(B, T)), jnp.int32)
+        want = dag_logsoftmax_gather(
+            logits, jnp.broadcast_to(tgt[:, None, :], (B, L, T)))
+        got = dag_logsoftmax_gather_tokens(logits, tgt)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        # large-vocab fallback path
+        got2 = dag_logsoftmax_gather_tokens(logits, tgt, onehot_max_vocab=4)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                                   rtol=1e-6)
+
+    def test_gradients_match(self):
+        from daspeech_tpu.ops import (
+            dag_logsoftmax_gather, dag_logsoftmax_gather_tokens)
+
+        rng = np.random.default_rng(1)
+        B, L, V, T = 2, 6, 9, 4
+        logits = jnp.asarray(rng.normal(size=(B, L, V)).astype(np.float32))
+        tgt = jnp.asarray(rng.integers(0, V, size=(B, T)), jnp.int32)
+        g1 = jax.grad(lambda x: jnp.sum(dag_logsoftmax_gather(
+            x, jnp.broadcast_to(tgt[:, None, :], (B, L, T)))**2))(logits)
+        g2 = jax.grad(lambda x: jnp.sum(
+            dag_logsoftmax_gather_tokens(x, tgt)**2))(logits)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-6)
