@@ -60,7 +60,16 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("daspeech-generate")
     p.add_argument("data")
     p.add_argument("--task", default="nat_speech_to_speech",
-                   choices=["nat_speech_to_text", "nat_speech_to_speech"])
+                   choices=["nat_speech_to_text", "nat_speech_to_speech",
+                            "text_to_speech"])
+    p.add_argument("--generator-type", default="auto",
+                   choices=["auto", "nat_s2s", "nat_tts"],
+                   help="``generate_features.py:29-76`` dispatch: nat_s2s = "
+                        "two-pass DAG+TTS (default for the S2S task), "
+                        "nat_tts = FastSpeech2-only phoneme->mel (the "
+                        "text_to_speech task / stage-2 checkpoints); the "
+                        "at_* AR baselines are library-level "
+                        "(decode/speech_generator.py) with no CLI recipe")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax checkpoint dir from cli.train")
     p.add_argument("--model-torch", default=None,
@@ -91,6 +100,8 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.generator_type == "nat_tts" or args.task == "text_to_speech":
+        return _generate_tts(args)
     is_s2s = args.task == "nat_speech_to_speech"
     task_cls = NATSpeechToSpeechTask if is_s2s else NATSpeechToTextTask
     task = task_cls.setup_task(TaskConfig(
@@ -177,8 +188,81 @@ def main(argv=None):
     return _generate_with(args, task, model, params, it, is_s2s)
 
 
-def _generate_with(args, task, model, params, it, is_s2s):
-    # optional vocoder (``get_vocoder`` dispatch, ``vocoder.py:297-305``)
+def _generate_tts(args):
+    """``--generator-type nat_tts``: FastSpeech2-only phoneme->mel(->wav)
+    over the stage-2 `text_to_speech` checkpoints
+    (``generate_features.py:62-74`` nat_tts branch /
+    ``speech_generator_modified.py:96-150``)."""
+    from daspeech_tpu.decode.speech_generator import (
+        NonAutoregressiveSpeechGenerator)
+    from daspeech_tpu.models.fastspeech2 import FastSpeech2Encoder
+    from daspeech_tpu.tasks import TextToSpeechTask
+
+    task = TextToSpeechTask.setup_task(TaskConfig(data_dir=args.data))
+    task.load_dataset(args.gen_subset)
+    vocab = task.vocab
+
+    from daspeech_tpu.cli.train import build_model_cfg
+
+    class _A:
+        model_yaml = args.model_yaml
+        criterion = "fastspeech2"
+
+    model_cfg = build_model_cfg(_A, vocab)
+    model = FastSpeech2Encoder(model_cfg, vocab_size=vocab.size,
+                               pad=vocab.pad)
+    if not args.checkpoint_dir:
+        raise SystemExit("nat_tts needs --checkpoint-dir (cli.train "
+                         "--criterion fastspeech2 output)")
+    it = task.get_batch_iterator(args.gen_subset)
+    probe = next(iter(it))
+
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    variables = jax.eval_shape(
+        lambda key: model.init(
+            key, src_tokens=jnp.asarray(probe["src_tokens"]),
+            max_out_len=8),
+        jax.random.key(0))
+    tx = make_optimizer()
+    state_like = jax.eval_shape(lambda v: TrainState.create(v, tx),
+                                variables)
+    state = ckpt.restore(state_like)
+    if state is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+    params = {"params": state.params}
+    if state.batch_stats:
+        params["batch_stats"] = state.batch_stats
+
+    vocoder, vocoder_params, gcmvn = _load_vocoder_and_gcmvn(args, task)
+    gen = NonAutoregressiveSpeechGenerator(
+        model, vocab, max_mel_len=args.max_mel_len, vocoder=vocoder,
+        vocoder_params=vocoder_params, gcmvn=gcmvn)
+
+    out_dir = Path(args.results_path)
+    (out_dir / "feat").mkdir(parents=True, exist_ok=True)
+    n = 0
+    for spec, idxs in it.batches_for_epoch(0):
+        batch = it.collate(spec, idxs)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        hypos = gen.generate(params, jb)
+        for i, local in enumerate(idxs):
+            utt_id = it.dataset[local].utt_id
+            h = hypos[i]
+            np.save(out_dir / "feat" / f"{utt_id}.npy",
+                    np.asarray(h["feature"]).T)
+            if "waveform" in h:
+                (out_dir / "wav").mkdir(exist_ok=True)
+                write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
+                          np.asarray(h["waveform"]))
+            n += 1
+    print(json.dumps({"generated": n, "results": str(out_dir)}))
+    return 0
+
+
+def _load_vocoder_and_gcmvn(args, task):
+    """Optional vocoder (``get_vocoder`` dispatch, ``vocoder.py:297-305``)
+    and gcmvn stats (flag, else config.yaml's global_cmvn —
+    ``data_cfg.py:179-182``)."""
     vocoder = vocoder_params = None
     if args.vocoder_torch or args.vocoder_checkpoint:
         from daspeech_tpu.core.config import HiFiGANConfig
@@ -201,8 +285,6 @@ def _generate_with(args, task, model, params, it, is_s2s):
             vstate = vck.restore()
             vocoder_params = vstate["gen_params"]
 
-    # --gcmvn-stats flag, falling back to config.yaml's global_cmvn stats
-    # (``data_cfg.py:179-182``)
     gcmvn_path = args.gcmvn_stats
     if gcmvn_path is None and task.data_cfg is not None:
         gcmvn_path = task.data_cfg.global_cmvn_stats_npz
@@ -211,6 +293,11 @@ def _generate_with(args, task, model, params, it, is_s2s):
         from daspeech_tpu.data.transforms import GlobalCMVN
 
         gcmvn = GlobalCMVN(stats_npz_path=gcmvn_path)
+    return vocoder, vocoder_params, gcmvn
+
+
+def _generate_with(args, task, model, params, it, is_s2s):
+    vocoder, vocoder_params, gcmvn = _load_vocoder_and_gcmvn(args, task)
 
     decode_cfg = DecodeConfig(
         strategy=args.decode_strategy, beta=args.decode_beta,

@@ -474,7 +474,17 @@ def main(argv=None):
                 agg.log_scalar(k, float(v))
             agg.log_speed("ups")
         pending.clear()
-        return agg.get_smoothed_values()
+        stats = agg.get_smoothed_values()
+        # device-memory tracker (the reference's gpu_mem_track / SHOW_MEMORY
+        # equivalent): peak HBM in use, when the backend reports it
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            if ms and "peak_bytes_in_use" in ms:
+                stats["peak_hbm_gb"] = round(
+                    ms["peak_bytes_in_use"] / 2**30, 2)
+        except Exception:
+            pass
+        return stats
 
     def loop():
         nonlocal state, update, epoch

@@ -183,6 +183,63 @@ class TestTTSCLI:
         mcds = [r["valid_mcd"] for r in recs if "valid_mcd" in r]
         assert mcds and all(np.isfinite(m) and m > 0 for m in mcds)
 
+    def test_nat_tts_generate(self, tmp_path, capsys):
+        """--generator-type nat_tts: FastSpeech2-only mel dump through the
+        generate CLI over a stage-2 checkpoint (generate_features.py:62-74)."""
+        rng = np.random.default_rng(3)
+        d, rows, _ = make_dataset(tmp_path, rng, n=6, s2s=True)
+        tts_rows = []
+        for r in rows:
+            tts_rows.append({
+                "id": r["id"], "audio": r["tgt_audio"],
+                "n_frames": r["tgt_n_frames"], "tgt_text": r["tgt_text"],
+                "duration": r["duration"], "pitch": r["pitch"],
+                "energy": r["energy"]})
+        for split in ("train", "test"):
+            with open(tmp_path / f"{split}.tsv", "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(tts_rows[0].keys()),
+                                   delimiter="\t")
+                w.writeheader()
+                for r in tts_rows:
+                    w.writerow(r)
+        d.save(tmp_path / "vocab.txt")
+        tts_yaml = {"encoder_layers": 1, "encoder_embed_dim": 16,
+                    "encoder_heads": 2, "decoder_layers": 1,
+                    "decoder_embed_dim": 16, "decoder_heads": 2,
+                    "fft_hidden_dim": 32, "var_pred_hidden_dim": 16,
+                    "var_pred_n_bins": 8}
+        (tmp_path / "tts.yaml").write_text(yaml.safe_dump(tts_yaml))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "text_to_speech",
+            "--criterion", "fastspeech2",
+            "--model-yaml", str(tmp_path / "tts.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-sentences", "4",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--save-interval-updates", "2",
+            "--valid-subset", "missing",
+        ])
+        assert rc == 0
+
+        from daspeech_tpu.cli.generate import main as gen_main
+
+        rc = gen_main([
+            str(tmp_path), "--generator-type", "nat_tts",
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--model-yaml", str(tmp_path / "tts.yaml"),
+            "--gen-subset", "test",
+            "--results-path", str(tmp_path / "results"),
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        feats = list((tmp_path / "results" / "feat").glob("*.npy"))
+        assert len(feats) == 6
+        m = np.load(feats[0])
+        assert m.shape[0] == 80 and np.isfinite(m).all()
+
 
 class TestValidationBLEU:
     def test_s2t_with_eval_bleu_validation(self, tmp_path, capsys):
