@@ -1,5 +1,6 @@
 from daspeech_tpu.parallel.partition import (
     jit_sharded,
+    jit_sharded_infer,
     make_mesh,
     param_partition_spec,
     state_shardings,
@@ -8,6 +9,7 @@ from daspeech_tpu.parallel.partition import (
 
 __all__ = [
     "jit_sharded",
+    "jit_sharded_infer",
     "make_mesh",
     "param_partition_spec",
     "state_shardings",

@@ -146,6 +146,32 @@ def shard_batch_specs(batch, mesh: Mesh, data_axis: str = "data",
     return {k: spec(k, v) for k, v in batch.items()}
 
 
+def jit_sharded_infer(fn, mesh: Mesh, params, data_axis: str = "data",
+                      model_axis: str = "model"):
+    """jit an inference fn ``(params, batch_pytree) -> outputs`` over a
+    data x model mesh: params tensor-parallel by the Megatron rules, every
+    batch leaf split on its leading dim, outputs replicated. The serving
+    analogue of ``jit_sharded`` (multi-chip decode: TP shrinks per-chip
+    weights and the link-predictor matmul; DP scales utterance throughput).
+    Call as ``jitted(params, batch)``.
+    """
+    p_sh = tree_shardings(params, mesh, model_axis)
+    replicated = NamedSharding(mesh, P())
+
+    def wrapped(params, batch):
+        def spec(v):
+            dims = [None] * v.ndim
+            if v.ndim and data_axis in mesh.axis_names:
+                dims[0] = data_axis
+            return NamedSharding(mesh, P(*dims))
+        batch = jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, spec(a)), batch)
+        return fn(params, batch)
+
+    return jax.jit(wrapped, in_shardings=(p_sh, None),
+                   out_shardings=replicated)
+
+
 def jit_sharded(step_fn, mesh: Mesh, state, data_axis: str = "data",
                 seq_axis: Optional[str] = None,
                 model_axis: str = "model", batch_dim: int = 0,

@@ -155,3 +155,39 @@ class TestShardedTrainStep:
         assert int(s2.step) == 2
         assert np.isfinite(float(m2["loss"]))
         assert float(m2["loss"]) < float(m1["loss"]) + 1.0
+
+
+class TestShardedInference:
+    def test_tp_decode_matches_unsharded(self):
+        """Lookahead decode under a (data=2, model=4) mesh returns the same
+        tokens as the single-device decode (TP serving parity)."""
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.generator import dag_forward_decode
+        from daspeech_tpu.parallel import jit_sharded_infer
+
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(21)
+        batch = make_batch(rng, cfg, B=8, S=32)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        dcfg = DecodeConfig(strategy="lookahead")
+
+        def decode(params, b):
+            res, feats = dag_forward_decode(
+                model, params, b["fbank"], b["src_lengths"],
+                b["prev_output_tokens"], cfg.vocab, dcfg)
+            return res.tokens, res.lengths
+
+        inb = {k: batch[k] for k in
+               ("fbank", "src_lengths", "prev_output_tokens")}
+        want_tok, want_len = jax.jit(decode)(variables, inb)
+
+        mesh = make_mesh(8, (("data", 2), ("model", 4)))
+        jfn = jit_sharded_infer(decode, mesh, variables)
+        got_tok, got_len = jfn(variables, inb)
+        np.testing.assert_array_equal(np.asarray(got_len),
+                                      np.asarray(want_len))
+        np.testing.assert_array_equal(np.asarray(got_tok),
+                                      np.asarray(want_tok))
