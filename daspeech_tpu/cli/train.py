@@ -130,6 +130,11 @@ def parse_args(argv=None):
     p.add_argument("--tensorboard-logdir", default=None,
                    help="also mirror progress stats to TensorBoard "
                         "(``logging/progress_bar.py`` tensorboard backend)")
+    p.add_argument("--rng-impl", default="rbg",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   help="PRNG for dropout/GLAT keys; rbg uses the TPU "
+                        "hardware generator (~3x cheaper masks than "
+                        "threefry at recipe shapes)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay fp32; the DAG DP "
@@ -328,7 +333,10 @@ def main(argv=None):
         sinks.append(TensorboardSink(args.tensorboard_logdir))
     logger = JsonProgressLogger(log_interval=args.log_interval, sinks=sinks)
     agg = MetricsAggregator()
-    rng = jax.random.key(args.seed)
+    # rbg: the TPU-native counter PRNG for dropout keys. threefry mask
+    # generation costs ~75 ms/step at the recipe budget vs ~24 ms for rbg
+    # (measured; the reference's torch CUDA RNG has no such tax).
+    rng = jax.random.key(args.seed, impl=args.rng_impl)
 
     # validation: eval-BLEU through the generator for S2T
     # (``--eval-bleu``, ``nat_speech_to_text.py:280-331``)
