@@ -81,6 +81,10 @@ def parse_args(argv=None):
     p.add_argument("--decode-strategy", default="lookahead")
     p.add_argument("--decode-beta", type=float, default=1.0)
     p.add_argument("--decode-viterbibeta", type=float, default=1.0)
+    p.add_argument("--length-beam", type=int, default=1,
+                   help="NAT length beam: decode N graph sizes around "
+                        "lambda*src_len, keep the best mean-logprob "
+                        "candidate (s2t_nat_generator.py:59-76)")
     p.add_argument("--src-upsample-scale", type=float, default=0.5)
     p.add_argument("--max-tokens", type=int, default=40000)
     p.add_argument("--max-mel-len", type=int, default=1024)
@@ -301,7 +305,8 @@ def _generate_with(args, task, model, params, it, is_s2s):
 
     decode_cfg = DecodeConfig(
         strategy=args.decode_strategy, beta=args.decode_beta,
-        viterbibeta=args.decode_viterbibeta)
+        viterbibeta=args.decode_viterbibeta,
+        length_beam=args.length_beam)
     if is_s2s:
         gen = task.build_generator(model, decode_cfg,
                                    max_mel_len=args.max_mel_len,
