@@ -73,7 +73,7 @@ def sync(out):
     np.asarray(jax.device_get(x.ravel()[:1] if x.ndim else x))
 
 
-def timeit(fn, *args, n=10):
+def timeit(fn, *args, n=30):
     out = fn(*args)
     sync(out)
     t0 = time.perf_counter()

@@ -191,3 +191,42 @@ class TestShardedInference:
                                       np.asarray(want_len))
         np.testing.assert_array_equal(np.asarray(got_tok),
                                       np.asarray(want_tok))
+
+
+class TestShardedCheckpoint:
+    def test_sharded_state_saves_and_restores_on_single_device(self, tmp_path):
+        """A TrainState trained on a tp mesh checkpoints and restores onto a
+        different (single-device) topology — the serve-after-train path."""
+        from daspeech_tpu.train.checkpoint import CheckpointManager
+
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(31)
+        batch = make_batch(rng, cfg, B=8, S=32)
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        tx = make_optimizer(lr=1e-3, warmup_updates=10)
+
+        def loss_fn(pd, b, key, step):
+            return nat_dag_loss(model, pd, b, key, jnp.asarray(0.0),
+                                cfg.vocab, glance_strategy=None)
+
+        mesh = make_mesh(8, (("data", 2), ("model", 4)))
+        state = TrainState.create(variables, tx)
+        step_fn = jit_sharded(make_train_step(loss_fn, tx), mesh, state)
+        s1, _ = step_fn(state, batch, jax.random.key(0))
+
+        ckpt = CheckpointManager(tmp_path / "ckpt")
+        ckpt.save(s1, 1)
+
+        # restore against a replicated single-device template
+        template = jax.eval_shape(
+            lambda v: TrainState.create(v, tx), variables)
+        restored = ckpt.restore(template)
+        assert restored is not None
+        k_mesh = s1.params["decoder"]["layers_0"]["ffn"]["fc1"]["kernel"]
+        k_rest = restored.params["decoder"]["layers_0"]["ffn"]["fc1"]["kernel"]
+        np.testing.assert_allclose(np.asarray(k_rest), np.asarray(k_mesh),
+                                   rtol=1e-6)
+        assert int(restored.step) == 1
