@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--max-mel-len", type=int, default=1024)
     p.add_argument("--asr-model", default=None,
                    help="HF wav2vec2 CTC id (must be in the local cache)")
+    p.add_argument("--target-lang", default="en",
+                   help="target language: picks the per-language ASR model "
+                        "and BLEU tokenizer (asr_model_cfgs.json table)")
     p.add_argument("--skip-asr", action="store_true")
     return p.parse_args(argv)
 
@@ -83,7 +86,9 @@ def main(argv=None):
         from daspeech_tpu.eval import asr_available, compute_asr_bleu
         from daspeech_tpu.eval.asr_bleu import DEFAULT_ASR_MODEL
 
-        model_name = args.asr_model or DEFAULT_ASR_MODEL
+        from daspeech_tpu.eval.asr_bleu import asr_model_for_lang
+
+        model_name = args.asr_model or asr_model_for_lang(args.target_lang)
         if not asr_available(model_name):
             print(json.dumps({**result, "asr_bleu": None,
                               "note": f"ASR model {model_name} not in local "
@@ -96,7 +101,8 @@ def main(argv=None):
             if wav.exists():
                 wavs.append(wav)
                 refs.append(r.get("tgt_ref") or r.get("tgt_text", ""))
-        score = compute_asr_bleu(wavs, refs, model_name=model_name)
+        score = compute_asr_bleu(wavs, refs, model_name=model_name,
+                                 lang=args.target_lang)
         result["asr_bleu"] = round(score["bleu"], 2)
 
     print(json.dumps(result))

@@ -21,24 +21,69 @@ import numpy as np
 
 DEFAULT_ASR_MODEL = "facebook/wav2vec2-large-960h-lv60-self"
 
+# Per-language CTC ASR models, mirroring the reference's table
+# (``asr_bleu/asr_model_cfgs.json`` oct22 rows). "en" uses the HF release
+# of the same LV-60 self-trained checkpoint the reference downloads from
+# fairseq; the rest are the reference's own HF model ids verbatim.
+ASR_MODELS = {
+    "en": DEFAULT_ASR_MODEL,
+    "es": "jonatasgrosman/wav2vec2-large-xlsr-53-spanish",
+    "fr": "jonatasgrosman/wav2vec2-large-fr-voxpopuli-french",
+    "zh": "ydshieh/wav2vec2-large-xlsr-53-chinese-zh-cn-gpt",
+    "tr": "cahya/wav2vec2-large-xlsr-turkish-artificial-cv",
+    "ar": "jonatasgrosman/wav2vec2-large-xlsr-53-arabic",
+    "vi": "not-tanh/wav2vec2-large-xlsr-53-vietnamese",
+    "de": "jonatasgrosman/wav2vec2-xls-r-1b-german",
+    "pl": "jonatasgrosman/wav2vec2-xls-r-1b-polish",
+    "it": "jonatasgrosman/wav2vec2-large-xlsr-53-italian",
+    "pt": "jonatasgrosman/wav2vec2-xls-r-1b-portuguese",
+    "ro": "gigant/romanian-wav2vec2",
+    "cs": "comodoro/wav2vec2-xls-r-300m-cs-250",
+    "sk": "anuragshas/wav2vec2-xls-r-300m-sk-cv8-with-lm",
+    "sl": "anuragshas/wav2vec2-xls-r-300m-sl-cv8-with-lm",
+    "fi": "jonatasgrosman/wav2vec2-large-xlsr-53-finnish",
+    "hu": "jonatasgrosman/wav2vec2-large-xlsr-53-hungarian",
+    "et": "RASMUS/wav2vec2-xlsr-1b-et",
+    "lt": "sammy786/wav2vec2-xlsr-lithuanian",
+    "nl": "jonatasgrosman/wav2vec2-xls-r-1b-dutch",
+    "lv": "reach-vb/wav2vec2-large-xls-r-1B-common_voice7-lv-ft",
+    "sv": "marinone94/xls-r-300m-sv-robust",
+    "hr": "classla/wav2vec2-xls-r-parlaspeech-hr",
+}
 
-def normalize_transcript(text: str) -> str:
-    """Lowercase + strip punctuation, as ``compute_asr_bleu.py`` does before
-    scoring (the en ASR emits uppercase; references are lowercased)."""
+
+def asr_model_for_lang(lang: str) -> str:
+    """Language code -> ASR model id (``compute_asr_bleu.py`` cfg lookup)."""
+    if lang not in ASR_MODELS:
+        raise ValueError(
+            f"no ASR model registered for {lang!r}; have "
+            f"{sorted(ASR_MODELS)}")
+    return ASR_MODELS[lang]
+
+
+def normalize_transcript(text: str, lang: str = "en") -> str:
+    """Lowercase (+ strip punctuation for en), as ``compute_asr_bleu.py``
+    does before scoring (the en ASR emits uppercase; references are
+    lowercased). The ASCII strip applies only to en — other languages keep
+    their characters."""
     text = text.lower()
-    text = re.sub(r"[^a-z0-9' ]", " ", text)
+    if lang == "en":
+        text = re.sub(r"[^a-z0-9' ]", " ", text)
     return " ".join(text.split())
 
 
-def corpus_bleu(hyps: Sequence[str], refs: Sequence[str]) -> float:
-    """sacrebleu corpus BLEU, 13a tokenizer, lowercase
-    (``compute_asr_bleu.py:120-235``)."""
+def corpus_bleu(hyps: Sequence[str], refs: Sequence[str],
+                lang: str = "en") -> float:
+    """sacrebleu corpus BLEU, lowercased (``compute_asr_bleu.py:120-235``);
+    13a tokenizer, except the character tokenizer for zh as sacrebleu
+    prescribes."""
     import sacrebleu
 
+    tok = "zh" if lang == "zh" else "13a"
     bleu = sacrebleu.corpus_bleu(
-        [normalize_transcript(h) for h in hyps],
-        [[normalize_transcript(r) for r in refs]],
-        tokenize="13a", lowercase=True)
+        [normalize_transcript(h, lang) for h in hyps],
+        [[normalize_transcript(r, lang) for r in refs]],
+        tokenize=tok, lowercase=True)
     return float(bleu.score)
 
 
@@ -93,13 +138,14 @@ def resample_linear(wav: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
 
 def compute_asr_bleu(
     wav_paths: Sequence, reference_texts: Sequence[str],
-    model_name: str = DEFAULT_ASR_MODEL, sample_rate: int = 22050,
+    model_name: Optional[str] = None, sample_rate: int = 22050,
+    lang: str = "en",
 ) -> dict:
     """Transcribe each waveform and score corpus BLEU
     (``compute_asr_bleu.py`` main path)."""
     from daspeech_tpu.cli.generate import read_wav
 
-    tr = Wav2Vec2Transcriber(model_name)
+    tr = Wav2Vec2Transcriber(model_name or asr_model_for_lang(lang))
     hyps: List[str] = []
     for p in wav_paths:
         if isinstance(p, (str, Path)):
@@ -107,5 +153,5 @@ def compute_asr_bleu(
         else:
             wav, sr = p, sample_rate
         hyps.append(tr.transcribe(wav, sr))
-    score = corpus_bleu(hyps, list(reference_texts))
+    score = corpus_bleu(hyps, list(reference_texts), lang=lang)
     return {"bleu": score, "hypotheses": hyps}

@@ -58,3 +58,37 @@ class TestMCD:
         d = mel_cepstral_distortion(hyp, ref)
         assert np.isfinite(d)
         assert batch_mel_cepstral_distortion([hyp], [ref]) == pytest.approx(d)
+
+
+class TestMultilingualASRTable:
+    def test_lang_table_matches_reference(self):
+        """Every HF row of the reference's asr_model_cfgs.json resolves."""
+        import json
+
+        from daspeech_tpu.eval.asr_bleu import ASR_MODELS, asr_model_for_lang
+
+        ref = json.loads(
+            open("/root/reference/asr_bleu/asr_model_cfgs.json").read())
+        for lang, v in ref.items():
+            cfg = v.get("oct22", {})
+            if cfg.get("model_type") == "hf":
+                assert asr_model_for_lang(lang) == cfg["model_path"], lang
+        assert asr_model_for_lang("en")  # fairseq row -> HF equivalent
+        import pytest
+
+        with pytest.raises(ValueError):
+            asr_model_for_lang("xx")
+
+    def test_normalize_lang_aware(self):
+        from daspeech_tpu.eval.asr_bleu import normalize_transcript
+
+        assert normalize_transcript("Héllo, World!", "en") == "h llo world"
+        assert normalize_transcript("Héllo, Wörld!", "de") == "héllo, wörld!"
+
+    def test_zh_tokenizer(self):
+        import pytest
+
+        from daspeech_tpu.eval.asr_bleu import corpus_bleu
+
+        s = corpus_bleu(["你好世界"], ["你好世界"], lang="zh")
+        assert s == pytest.approx(100.0)
