@@ -93,6 +93,32 @@ class TestTrainCLI:
             assert utt.startswith("utt")
 
 
+
+    def test_bf16_training(self, tmp_path, capsys):
+        """--dtype bfloat16 trains with finite loss (bf16 compute, fp32
+        params; the fp16-recipe analogue)."""
+        rng = np.random.default_rng(7)
+        write_corpus(tmp_path, rng, s2s=False, n=6)
+        (tmp_path / "model.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--criterion", "nat_dag_loss",
+            "--model-yaml", str(tmp_path / "model.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-tokens", "2000",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--valid-subset", "missing", "--dtype", "bfloat16",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses))
+
+
 class TestTTSCLI:
     def test_fastspeech2_pretraining(self, tmp_path, capsys):
         """Stage-2 recipe: --task text_to_speech --criterion fastspeech2."""
