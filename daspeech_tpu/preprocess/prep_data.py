@@ -10,9 +10,10 @@ prep_cvss_c_multilingual_data.py``, ``prep_cvss_c_tts_data.py``, and
   duration from alignment intervals, pitch averaged per phoneme, energy
   (frame magnitude) averaged per phoneme, gcmvn stats.
 - Pitch: the reference uses pyworld dio+stonemask (an offline C library);
-  this host lacks it, so ``yin_pitch`` provides a pure-numpy YIN
-  fallback with the same per-phoneme averaging; pass ``pitch_fn`` to plug
-  pyworld when available.
+  this host lacks it, so the default ``pitch_fn`` is ``yin_stonemask_pitch``
+  — a pure-numpy YIN coarse pass plus a StoneMask-style harmonic-spectrum
+  refinement (<0.5 Hz error on harmonic tones) with the same per-phoneme
+  averaging; pass ``pitch_fn`` to plug pyworld when available.
 """
 
 from __future__ import annotations
@@ -80,6 +81,64 @@ def yin_pitch(
                     tau = tau + 0.5 * (a - c) / denom
             f0[i] = sample_rate / max(tau, 1e-6)
     return f0
+
+
+def stonemask_refine(
+    wav: np.ndarray, f0: np.ndarray, sample_rate: int, hop: int = 256,
+    win: int = 1024, n_harmonics: int = 3, rel_span: float = 0.05,
+    n_grid: int = 9,
+) -> np.ndarray:
+    """StoneMask-style F0 refinement (the second stage of the reference's
+    pyworld pipeline, ``data_utils.py:88-96``): for each voiced frame,
+    re-locate F0 as the harmonic-spectrum peak near the coarse estimate.
+
+    A windowed DFT is evaluated on a small frequency grid spanning
+    +/-``rel_span`` around the YIN candidate; the score at each candidate
+    sums the magnitudes of its first ``n_harmonics`` harmonics (linear, so
+    an absent harmonic contributes ~nothing instead of sidelobe noise),
+    and the maximum is parabolic-interpolated. On synthetic harmonic tones
+    this cuts the F0 error well under 1 Hz (see
+    ``tests/test_preprocess.py``). Unvoiced frames (0) pass through.
+    """
+    refined = f0.copy().astype(np.float32)
+    window = np.hanning(win)
+    n = np.arange(win)
+    for i in range(len(f0)):
+        if f0[i] <= 0:
+            continue
+        start = i * hop
+        seg = wav[start: start + win].astype(np.float64)
+        if len(seg) < win:
+            continue
+        seg = seg * window
+        cands = f0[i] * (1.0 + rel_span * np.linspace(-1, 1, n_grid))
+        scores = np.zeros(n_grid)
+        for g, fc in enumerate(cands):
+            s = 0.0
+            for k in range(1, n_harmonics + 1):
+                fk = fc * k
+                if fk >= sample_rate / 2:
+                    break
+                phase = -2j * np.pi * fk * n / sample_rate
+                s += np.abs(np.sum(seg * np.exp(phase)))
+            scores[g] = s
+        j = int(np.argmax(scores))
+        if 0 < j < n_grid - 1:
+            a, b, c = scores[j - 1], scores[j], scores[j + 1]
+            denom = a - 2 * b + c
+            off = 0.5 * (a - c) / denom if abs(denom) > 1e-12 else 0.0
+            j = j + np.clip(off, -0.5, 0.5)
+        refined[i] = float(np.interp(j, np.arange(n_grid), cands))
+    return refined
+
+
+def yin_stonemask_pitch(wav: np.ndarray, sample_rate: int,
+                        hop: int = 256, win: int = 1024, **kw) -> np.ndarray:
+    """YIN coarse estimate + StoneMask-style refinement — the default
+    ``pitch_fn`` (the closest pure-numpy analogue of pyworld
+    dio+stonemask)."""
+    f0 = yin_pitch(wav, sample_rate, hop=hop, win=win, **kw)
+    return stonemask_refine(wav, f0, sample_rate, hop=hop, win=win)
 
 
 def frame_energy(wav: np.ndarray, hop: int = 256, win: int = 1024,
@@ -158,7 +217,7 @@ def extract_tts_features(
 ) -> Tuple[List[Dict[str, str]], Dict[str, np.ndarray]]:
     """wav + MFA phoneme intervals -> TTS manifest rows with mel zip paths,
     per-phoneme duration/pitch/energy strings, and gcmvn stats."""
-    pitch_fn = pitch_fn or (lambda w, sr: yin_pitch(w, sr))
+    pitch_fn = pitch_fn or (lambda w, sr: yin_stonemask_pitch(w, sr))
     mels, rows = [], []
     for w, name, ivs in zip(waveforms, names, phoneme_intervals):
         mel = log_mel_spectrogram(w, sample_rate)

@@ -109,3 +109,37 @@ class TestConfigYaml:
             "utterance_cmvn", "specaugment"]
         assert cfg.transform_names("test", False) == ["utterance_cmvn"]
         assert cfg.vocoder["type"] == "hifigan"
+
+
+class TestStonemaskRefine:
+    def test_refines_harmonic_tone(self):
+        """On a synthetic harmonic tone the refined F0 error is far below
+        the raw YIN error (the point of the pyworld stonemask stage)."""
+        from daspeech_tpu.preprocess.prep_data import (
+            stonemask_refine, yin_pitch, yin_stonemask_pitch)
+
+        sr, f_true = 22050, 137.3
+        t = np.arange(int(1.0 * sr)) / sr
+        wav = sum((0.6 / k) * np.sin(2 * np.pi * f_true * k * t)
+                  for k in range(1, 4)).astype(np.float32)
+        coarse = yin_pitch(wav, sr)
+        refined = stonemask_refine(wav, coarse, sr)
+        v = coarse > 0
+        assert v.sum() > 10
+        err_coarse = np.abs(coarse[v] - f_true).mean()
+        err_refined = np.abs(refined[v] - f_true).mean()
+        assert err_refined < err_coarse
+        assert err_refined < 0.5   # Hz
+
+        # the combined default matches chaining the two stages
+        both = yin_stonemask_pitch(wav, sr)
+        np.testing.assert_allclose(both[v], refined[v], rtol=1e-6)
+
+    def test_unvoiced_passthrough(self):
+        from daspeech_tpu.preprocess.prep_data import stonemask_refine
+
+        rng = np.random.default_rng(0)
+        wav = rng.normal(size=22050).astype(np.float32) * 0.01
+        f0 = np.zeros(40, np.float32)
+        out = stonemask_refine(wav, f0, 22050)
+        assert (out == 0).all()
