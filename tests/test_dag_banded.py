@@ -193,3 +193,89 @@ def test_model_extract_links_enforces_band():
     row_sums = probs.sum(axis=2)
     has_succ = row_sums > 0
     np.testing.assert_allclose(row_sums[has_succ], 1.0, rtol=1e-4)
+
+
+def _banded_model(W=3, L=12):
+    import sys
+    if "tests" not in sys.path[0]:
+        sys.path.insert(0, "tests")
+    from testutils import fast_init
+
+    from daspeech_tpu.core.config import (
+        ConformerConfig, DAGDecoderConfig, DAGModelConfig, VocabConfig)
+    from daspeech_tpu.models import (
+        S2TConformerDAG, graph_lengths, initialize_output_tokens)
+
+    vocab = VocabConfig(size=16)
+    cfg = DAGModelConfig(
+        vocab=vocab,
+        encoder=ConformerConfig(
+            embed_dim=16, ffn_dim=32, num_layers=1, num_heads=2,
+            conv_channels=16, depthwise_kernel_size=7, dropout=0.0,
+            attn_dropout=0.0),
+        decoder=DAGDecoderConfig(
+            embed_dim=16, ffn_dim=32, num_layers=1, num_heads=2,
+            dropout=0.0, attn_dropout=0.0, activation_dropout=0.0,
+            max_target_positions=32, max_transition_length=W))
+    model = S2TConformerDAG(cfg)
+    rng = np.random.default_rng(7)
+    B, S = 2, 24
+    fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))
+    sl = jnp.asarray([24, 17], jnp.int32)
+    prev = initialize_output_tokens(graph_lengths(sl, 0.5, 64), L, vocab)
+    variables = fast_init(model, jax.random.key(0), fbank, sl, prev)
+    return model, cfg, variables, fbank, sl, prev
+
+
+def test_extract_links_banded_matches_full_band():
+    """extract_links_banded == full_to_band(extract_links) — the block-
+    banded QK path computes the identical band without the [L, L] matrix."""
+    from daspeech_tpu.ops.links_utils import full_to_band
+
+    for W, L in ((3, 12), (4, 12), (5, 16)):
+        model, cfg, variables, fbank, sl, prev = _banded_model(W, L)
+        logits, links_full, feats = model.apply(
+            variables, fbank, sl, prev)
+        want = full_to_band(links_full, W)
+        _, band, feats2 = model.apply(
+            variables, fbank, sl, prev, method=model.forward_banded)
+        assert band.shape == (fbank.shape[0], L, W)
+        fin = np.isfinite(np.asarray(want))
+        np.testing.assert_array_equal(np.isfinite(np.asarray(band)), fin)
+        np.testing.assert_allclose(
+            np.asarray(band)[fin], np.asarray(want)[fin],
+            rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feats2), np.asarray(feats),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_nat_dag_loss_banded_extraction_matches_full():
+    """nat_dag_loss with banded_dp now sources [B, L, W] links directly
+    from the model; grads and loss must match the full-matrix path."""
+    from daspeech_tpu.losses import nat_dag_loss
+
+    W, L = 4, 12
+    model, cfg, variables, fbank, sl, prev = _banded_model(W, L)
+    rng = np.random.default_rng(8)
+    T = 6
+    tgt = jnp.asarray(rng.integers(4, 16, size=(2, T)), jnp.int32)
+    tgt = tgt.at[:, 0].set(0).at[:, T - 1].set(2)
+    batch = {"fbank": fbank, "src_lengths": sl, "target": tgt,
+             "prev_output_tokens": prev}
+
+    def loss(banded_dp):
+        def f(p):
+            l, aux = nat_dag_loss(
+                model, {"params": p,
+                        "batch_stats": variables.get("batch_stats", {})},
+                batch, jax.random.key(3), jnp.asarray(0.5), cfg.vocab,
+                max_transition_length=W, banded_dp=banded_dp)
+            return l
+        return jax.value_and_grad(f)(variables["params"])
+
+    l_full, g_full = loss(False)
+    l_band, g_band = loss(True)
+    np.testing.assert_allclose(float(l_band), float(l_full), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_band)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-5)
