@@ -136,8 +136,16 @@ def main(argv=None):
         from daspeech_tpu.train.torch_import import (
             import_s2s_daspeech, import_s2t_conformer_dag)
 
-        ckpt_t = torch.load(args.model_torch, map_location="cpu",
-                            weights_only=True)
+        # released DASpeech/fairseq checkpoints pickle argparse/omegaconf
+        # config objects next to the state dict, which weights_only=True
+        # rejects; this is an explicit local-file import path, so fall
+        # back to a full unpickle for those
+        try:
+            ckpt_t = torch.load(args.model_torch, map_location="cpu",
+                                weights_only=True)
+        except Exception:
+            ckpt_t = torch.load(args.model_torch, map_location="cpu",
+                                weights_only=False)
         sd = ckpt_t.get("model", ckpt_t)
         dag_cfg = model_cfg.dag if is_s2s else model_cfg
         if is_s2s:
@@ -250,7 +258,7 @@ def _generate_tts(args):
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         hypos = gen.generate(params, jb)
         for i, local in enumerate(idxs):
-            utt_id = it.dataset[local].utt_id
+            utt_id = it.dataset.rows[local]["id"]
             h = hypos[i]
             np.save(out_dir / "feat" / f"{utt_id}.npy",
                     np.asarray(h["feature"]).T)
@@ -280,8 +288,12 @@ def _load_vocoder_and_gcmvn(args, task):
 
             from daspeech_tpu.train.torch_import import import_hifigan
 
-            sd = torch.load(args.vocoder_torch, map_location="cpu",
-                            weights_only=True)
+            try:
+                sd = torch.load(args.vocoder_torch, map_location="cpu",
+                                weights_only=True)
+            except Exception:
+                sd = torch.load(args.vocoder_torch, map_location="cpu",
+                                weights_only=False)
             sd = sd.get("generator", sd)
             vocoder_params = import_hifigan(sd, hifi_cfg)
         else:
@@ -326,7 +338,7 @@ def _generate_with(args, task, model, params, it, is_s2s):
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         hypos = gen.generate(params, jb)
         for i, local in enumerate(idxs):
-            utt_id = it.dataset[local].utt_id
+            utt_id = it.dataset.rows[local]["id"]
             h = hypos[i]
             text = task.tgt_dict.string(h["tokens"])
             hypos_file.write(f"{utt_id}\t{text}\n")

@@ -70,6 +70,12 @@ def dag_forward_decode(model, params, fbank, src_lengths, prev, vocab,
     from daspeech_tpu.models import initialize_output_tokens
 
     beam = max(1, int(cfg.length_beam))
+    if beam > 1 and cfg.strategy == "beamsearch":
+        # beam_search_decode carries no per-path feat_idx, so the
+        # mean-logprob candidate score would be identically 0 and argmax
+        # would silently pick the shortest graph every time
+        raise ValueError("length_beam > 1 is not supported with the "
+                         "beamsearch strategy; use lookahead/viterbi")
     enc, enc_pad, _ = model.apply(
         params, fbank, src_lengths, method=model.encode)
     if beam > 1:
@@ -147,6 +153,13 @@ class S2SNATGenerator(S2TNATGenerator):
 
     def _s2s_fn(self):
         cfg, vocab, model = self.cfg, self.vocab, self.model
+        if cfg.strategy == "beamsearch":
+            # beam_search_decode returns feat_idx = -1 everywhere (S2T-only,
+            # ``beam_search.py``); feeding that to gather_path_features
+            # would synthesize from a constant vertex-0 feature
+            raise NotImplementedError(
+                "beamsearch does not track path features for the TTS pass; "
+                "use lookahead, viterbi, or jointviterbi for S2S")
         skip_first = cfg.strategy in ("lookahead", "greedy")
         M = self.max_mel_len
         voc = self.vocoder
@@ -187,6 +200,7 @@ class S2SNATGenerator(S2TNATGenerator):
         lengths = np.asarray(res.lengths)
         mel = np.asarray(mel)
         mel_lens = np.asarray(mel_lens)
+        wav_np = None if wav is None else np.asarray(wav)  # one transfer
         hop = 256
         out = []
         for b in range(tokens.shape[0]):
@@ -197,7 +211,7 @@ class S2SNATGenerator(S2TNATGenerator):
                 "tokens": tokens[b, : lengths[b]],
                 "feature": m,
             }
-            if wav is not None and generate_waveform:
-                hypo["waveform"] = np.asarray(wav)[b, : mel_lens[b] * hop]
+            if wav_np is not None and generate_waveform:
+                hypo["waveform"] = wav_np[b, : mel_lens[b] * hop]
             out.append(hypo)
         return out

@@ -146,8 +146,12 @@ class MultiDecoderSpeechGenerator:
                 text_step, (buf0, done0, lens0), jnp.arange(TL))
 
             # ---- 2. teacher-forced MT features on the hypothesis
+            # the reference strips the hypothesis's trailing <eos> before
+            # the teacher-forced pass (``speech_generator_modified.py``:
+            # ``if tmp[-1] == eos: tmp = tmp[:-1]``) — keep slots
+            # 0..text_lens-1 = [<eos>, w_1..w_{K-1}]
             idx = jnp.arange(TL)[None, :]
-            prev_mt = jnp.where(idx <= text_lens[:, None], buf[:, :TL],
+            prev_mt = jnp.where(idx < text_lens[:, None], buf[:, :TL],
                                 vocab.pad)
             _, features = model.apply(params, prev_mt, enc, enc_pad,
                                       method=model.mt_decode)
@@ -200,15 +204,15 @@ class MultiDecoderSpeechGenerator:
         text_lens = np.asarray(text_lens)
         mel = np.asarray(mel)
         mel_lens = np.asarray(mel_lens)
+        wav_np = None if wav is None else np.asarray(wav)  # one transfer
         out = []
         for b in range(mel.shape[0]):
             m = mel[b, : mel_lens[b]]
             if self.gcmvn is not None:
                 m = self.gcmvn.denormalize(m)
             hypo = {"tokens": tokens[b, : text_lens[b]], "feature": m}
-            if wav is not None and generate_waveform:
-                hypo["waveform"] = np.asarray(
-                    wav)[b, : mel_lens[b] * self.hop]
+            if wav_np is not None and generate_waveform:
+                hypo["waveform"] = wav_np[b, : mel_lens[b] * self.hop]
             out.append(hypo)
         return out
 
@@ -256,13 +260,14 @@ class AutoRegressiveSpeechGenerator:
         mel, lens, wav = self._fn(params, batch["src_tokens"])
         mel = np.asarray(mel)
         lens = np.asarray(lens)
+        wav_np = None if wav is None else np.asarray(wav)  # one transfer
         out = []
         for b in range(mel.shape[0]):
             m = mel[b, : lens[b]]
             if self.gcmvn is not None:
                 m = self.gcmvn.denormalize(m)
             hypo = {"feature": m}
-            if wav is not None and generate_waveform:
-                hypo["waveform"] = np.asarray(wav)[b, : lens[b] * self.hop]
+            if wav_np is not None and generate_waveform:
+                hypo["waveform"] = wav_np[b, : lens[b] * self.hop]
             out.append(hypo)
         return out

@@ -32,6 +32,9 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# one batch-sharding implementation, shared with the DP-only path
+from daspeech_tpu.train.step import shard_batch_specs
+
 
 # (path regex, rank, spec builder) — first match wins. The path is the
 # "/"-joined flax param path INCLUDING the optimizer-state prefix (optax
@@ -128,24 +131,6 @@ def make_mesh(n_devices: int,
     return Mesh(np.array(devs).reshape(sizes), tuple(names))
 
 
-def shard_batch_specs(batch, mesh: Mesh, data_axis: str = "data",
-                      seq_axis: Optional[str] = None, batch_dim: int = 0,
-                      seq_keys: Sequence[str] = ("fbank",)):
-    """Batch shardings: batch dim over ``data``; optionally the frame axis
-    of the encoder input over ``seq`` (sequence parallelism for the longest
-    axis — fbank frames run to 6000, README.md:237)."""
-    def spec(k, v):
-        dims = [None] * v.ndim
-        if v.ndim > batch_dim and data_axis in mesh.axis_names:
-            dims[batch_dim] = data_axis
-        if (seq_axis and seq_axis in mesh.axis_names and k in seq_keys
-                and v.ndim > batch_dim + 1):
-            dims[batch_dim + 1] = seq_axis
-        return NamedSharding(mesh, P(*dims))
-
-    return {k: spec(k, v) for k, v in batch.items()}
-
-
 def jit_sharded_infer(fn, mesh: Mesh, params, data_axis: str = "data",
                       model_axis: str = "model"):
     """jit an inference fn ``(params, batch_pytree) -> outputs`` over a
@@ -187,8 +172,8 @@ def jit_sharded(step_fn, mesh: Mesh, state, data_axis: str = "data",
 
     def wrapped(state, batch, rng):
         batch = jax.lax.with_sharding_constraint(
-            batch, shard_batch_specs(batch, mesh, data_axis, seq_axis,
-                                     batch_dim))
+            batch, shard_batch_specs(batch, mesh, data_axis, batch_dim,
+                                     seq_axis=seq_axis))
         return step_fn(state, batch, rng)
 
     return jax.jit(

@@ -107,20 +107,28 @@ def optax_global_norm(tree) -> jnp.ndarray:
 
 
 def shard_batch_specs(batch: Dict[str, jnp.ndarray], mesh: Mesh,
-                      axis: str = "data", batch_dim: int = 0):
+                      axis: str = "data", batch_dim: int = 0,
+                      seq_axis=None, seq_keys=("fbank",)):
     """NamedShardings splitting the batch dim over the mesh.
 
     ``batch_dim=1`` is the --update-freq layout, where leaves carry a
     leading microbatch axis [A, B, ...]: the scan axis A stays replicated
     and the per-microbatch batch B is split across devices.
+
+    ``seq_axis`` additionally shards the frame axis of ``seq_keys``
+    entries (sequence parallelism for the encoder input, whose frame
+    count runs to 6000 — used by ``parallel.jit_sharded``).
     """
-    def spec(v):
+    def spec(k, v):
         dims = [None] * v.ndim
-        if v.ndim > batch_dim:
+        if v.ndim > batch_dim and axis in mesh.axis_names:
             dims[batch_dim] = axis
+        if (seq_axis and seq_axis in mesh.axis_names and k in seq_keys
+                and v.ndim > batch_dim + 1):
+            dims[batch_dim + 1] = seq_axis
         return NamedSharding(mesh, P(*dims))
 
-    return {k: spec(v) for k, v in batch.items()}
+    return {k: spec(k, v) for k, v in batch.items()}
 
 
 def jit_data_parallel(
