@@ -84,8 +84,6 @@ def main(argv=None):
     if not args.skip_asr:
         from daspeech_tpu.data.datasets import load_tsv
         from daspeech_tpu.eval import asr_available, compute_asr_bleu
-        from daspeech_tpu.eval.asr_bleu import DEFAULT_ASR_MODEL
-
         from daspeech_tpu.eval.asr_bleu import asr_model_for_lang
 
         model_name = args.asr_model or asr_model_for_lang(args.target_lang)

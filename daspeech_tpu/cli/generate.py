@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import pickle
 import sys
 import wave
 from pathlib import Path
@@ -138,12 +139,16 @@ def main(argv=None):
 
         # released DASpeech/fairseq checkpoints pickle argparse/omegaconf
         # config objects next to the state dict, which weights_only=True
-        # rejects; this is an explicit local-file import path, so fall
-        # back to a full unpickle for those
+        # rejects with UnpicklingError; this is an explicit local-file
+        # import path, so fall back to a full unpickle for those ONLY
+        # (anything else — corruption, IO — propagates)
         try:
             ckpt_t = torch.load(args.model_torch, map_location="cpu",
                                 weights_only=True)
-        except Exception:
+        except pickle.UnpicklingError:
+            print(f"WARNING: {args.model_torch} rejected by the safe "
+                  "(weights_only) loader; retrying with full unpickling — "
+                  "only do this for checkpoints you trust", file=sys.stderr)
             ckpt_t = torch.load(args.model_torch, map_location="cpu",
                                 weights_only=False)
         sd = ckpt_t.get("model", ckpt_t)
@@ -291,7 +296,11 @@ def _load_vocoder_and_gcmvn(args, task):
             try:
                 sd = torch.load(args.vocoder_torch, map_location="cpu",
                                 weights_only=True)
-            except Exception:
+            except pickle.UnpicklingError:
+                print(f"WARNING: {args.vocoder_torch} rejected by the safe "
+                      "(weights_only) loader; retrying with full unpickling "
+                      "— only do this for checkpoints you trust",
+                      file=sys.stderr)
                 sd = torch.load(args.vocoder_torch, map_location="cpu",
                                 weights_only=False)
             sd = sd.get("generator", sd)

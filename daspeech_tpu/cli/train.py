@@ -540,20 +540,20 @@ def main(argv=None):
                         bleu = validate(state)
                         if bleu is not None:
                             logger.print({"valid_bleu": round(bleu, 2)},
-                                         update, epoch)
+                                         update, epoch, tag="valid")
                             metric = bleu
                     else:
                         vloss = validate_loss(state)
                         if vloss is not None:
                             logger.print({"valid_loss": round(vloss, 4)},
-                                         update, epoch)
+                                         update, epoch, tag="valid")
                             metric = vloss
                         if tts_infer is not None:
                             mcd = validate_mcd(state)
                             if mcd is not None:
                                 logger.print(
                                     {"valid_mcd": round(mcd, 3)},
-                                    update, epoch)
+                                    update, epoch, tag="valid")
                 if need_save:
                     ckpt.save(state, update, metric=metric,
                               extra={"epoch": epoch,

@@ -73,13 +73,19 @@ def normalize_transcript(text: str, lang: str = "en") -> str:
 
 
 def corpus_bleu(hyps: Sequence[str], refs: Sequence[str],
-                lang: str = "en") -> float:
+                lang: str = "en", tokenizer: str = None) -> float:
     """sacrebleu corpus BLEU, lowercased (``compute_asr_bleu.py:120-235``);
     13a tokenizer, except the character tokenizer for zh as sacrebleu
-    prescribes."""
+    prescribes.
+
+    DELIBERATE DEVIATION: the reference's ``compute_asr_bleu.py`` uses the
+    default 13a tokenizer for *every* language including zh, so zh scores
+    from this function are NOT directly comparable to reference-reported
+    numbers — pass ``tokenizer='13a'`` for reference-compatible zh scoring.
+    """
     import sacrebleu
 
-    tok = "zh" if lang == "zh" else "13a"
+    tok = tokenizer or ("zh" if lang == "zh" else "13a")
     bleu = sacrebleu.corpus_bleu(
         [normalize_transcript(h, lang) for h in hyps],
         [[normalize_transcript(r, lang) for r in refs]],

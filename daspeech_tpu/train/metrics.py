@@ -105,12 +105,16 @@ class JsonProgressLogger:
             return
         self.print(stats, step, epoch)
 
-    def print(self, stats: Dict[str, Any], step: int, epoch: int = 0):
-        rec = {"tag": self.tag, "epoch": epoch, "update": step, **stats}
+    def print(self, stats: Dict[str, Any], step: int, epoch: int = 0,
+              tag: str = None):
+        """``tag`` overrides the logger's default (e.g. ``tag='valid'`` for
+        validation stats), so sinks bucket train vs valid separately."""
+        tag = self.tag if tag is None else tag
+        rec = {"tag": tag, "epoch": epoch, "update": step, **stats}
         self.stream.write(json.dumps(rec) + "\n")
         self.stream.flush()
         for sink in self.sinks:
-            sink(stats, step, self.tag)
+            sink(stats, step, tag)
 
 
 class TensorboardSink:

@@ -254,3 +254,63 @@ class TestSampleMask:
             return float(loss)
 
         np.testing.assert_allclose(run(padded), run(real), rtol=1e-5)
+
+
+class TestBandedDPGate:
+    """--banded-dp with the config-default max_transition_length=99999
+    (>= L-1, i.e. no real band) must fall back to the full-matrix path
+    instead of raising at trace time (advisor round-2 finding)."""
+
+    def test_banded_dp_flag_with_full_width_band_is_noop(self):
+        cfg = tiny_s2s_cfg()   # decoder max_transition_length defaults 99999
+        model = S2SConformerDAGFastSpeech2(cfg)
+        batch = s2s_batch()
+        B, L = batch["prev_output_tokens"].shape
+        M = batch["target_audio"].shape[1]
+
+        def full(m):
+            _, _, feats = m(batch["fbank"], batch["src_lengths"],
+                            batch["prev_output_tokens"])
+            return m.synthesize(feats, jnp.zeros((B, L), bool), M)
+
+        variables = fast_init(model, jax.random.key(0), method=full)
+        params = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+        mtl = cfg.dag.decoder.max_transition_length
+        assert mtl >= L - 1  # the recipe-default full-width "band"
+
+        def run(banded):
+            loss, _ = s2s_dag_fastspeech2_loss(
+                model, params, batch, jax.random.key(1),
+                jnp.asarray(0.3), VOCAB, train=False,
+                max_transition_length=mtl, banded_dp=banded)
+            return float(loss)
+
+        np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
+
+    def test_banded_dp_flag_with_real_band_matches_full(self):
+        cfg = tiny_s2s_cfg()
+        dec = cfg.dag.decoder
+        object.__setattr__(dec, "max_transition_length", 3)
+        model = S2SConformerDAGFastSpeech2(cfg)
+        batch = s2s_batch()
+        B, L = batch["prev_output_tokens"].shape
+        M = batch["target_audio"].shape[1]
+
+        def full(m):
+            _, _, feats = m(batch["fbank"], batch["src_lengths"],
+                            batch["prev_output_tokens"])
+            return m.synthesize(feats, jnp.zeros((B, L), bool), M)
+
+        variables = fast_init(model, jax.random.key(0), method=full)
+        params = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+
+        def run(banded):
+            loss, _ = s2s_dag_fastspeech2_loss(
+                model, params, batch, jax.random.key(1),
+                jnp.asarray(0.3), VOCAB, train=False,
+                max_transition_length=3, banded_dp=banded)
+            return float(loss)
+
+        np.testing.assert_allclose(run(True), run(False), rtol=1e-5)
