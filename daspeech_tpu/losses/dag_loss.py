@@ -26,6 +26,21 @@ from daspeech_tpu.ops import (
 )
 
 
+def conditional_stop_gradient(x, frozen):
+    """Stop gradients through ``x`` when ``frozen`` — which may be a traced
+    bool scalar (e.g. ``step <= dag_freezing_steps``), matching the
+    reference's ``torch.set_grad_enabled(update_num > dag_freezing_steps)``
+    (``s2s_dag_fastspeech2_loss.py:195``) and ``encoder_freezing_updates``
+    (``s2t_conformer.py:140-154``). Values are unchanged either way; the
+    cotangent is gated by the ``where``."""
+    if x is None:
+        return None
+    sg = jax.lax.stop_gradient(x)
+    if isinstance(frozen, bool):
+        return sg if frozen else x
+    return jnp.where(frozen, sg, x)
+
+
 def _band_width(max_transition_length: Optional[int], L: int) -> Optional[int]:
     """Effective band width, or None when the band covers the full upper
     triangle (the recipe's 99999 clamps to L-1 and is a no-op —
@@ -297,6 +312,7 @@ def nat_dag_loss(
     fused_vocab_chunk: Optional[int] = None,
     max_transition_length: Optional[int] = None,
     banded_dp: bool = False,
+    freeze_encoder=False,  # bool OR traced bool (step < encoder_freezing_updates)
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Criterion forward (``NATDAGLoss.forward``, ``nat_dag_loss.py:164-314``).
 
@@ -324,37 +340,40 @@ def nat_dag_loss(
     # banded end-to-end: with --banded-dp and a real band width the model
     # extracts [B, L, W] links directly (extract_links_banded) and the DP
     # consumes the same layout — the [L, L] matrix never materializes.
-    # (The fused-vocab path keeps full links: its streaming ops are the
-    # large-|V| lever, banding is the large-L lever; combine later.)
+    # Composes with fused_vocab_chunk (decode_features_banded): large-|V|
+    # streaming and large-L banding at once.
     L_graph = prev_output_tokens.shape[1]
-    band_links = (banded_dp and fused_vocab_chunk is None
+    band_links = (banded_dp
                   and _band_width(max_transition_length, L_graph) is not None
-                  and hasattr(model, "forward_banded"))
+                  and hasattr(model, "decode_banded"))
 
-    def forward(prev):
-        out = model.apply(
-            enc_vars, fbank, src_lengths, prev, train=train,
-            rngs=rngs,
-            method=model.forward_banded if band_links else None,
-            mutable=["batch_stats"] if train else False)
-        if train:
-            (logits, links, feats), updates = out
-        else:
-            logits, links, feats = out
-            updates = {}
-        return logits, links, feats, updates
+    # Encode ONCE: both GLAT passes share the encoder output, matching the
+    # reference (``s2t_conformer_dag.py:236-251``: encoder_out is computed
+    # before ``glat_function`` and reused by both ``extract_features``
+    # calls). The glance pass stop-grads its outputs, so encoder gradients
+    # flow only through the second decode.
+    enc_out = model.apply(
+        enc_vars, fbank, src_lengths, train=train, rngs=rngs,
+        method=model.encode, mutable=["batch_stats"] if train else False)
+    if train:
+        (enc, enc_pad, _), updates = enc_out
+    else:
+        (enc, enc_pad, _), updates = enc_out, {}
+    if freeze_encoder is not False:
+        # ``encoder_freezing_updates`` (``s2t_conformer.py:140-154``):
+        # encoder runs under no-grad while step < N
+        enc = conditional_stop_gradient(enc, freeze_encoder)
 
-    def forward_feats(prev):
-        out = model.apply(
-            enc_vars, fbank, src_lengths, prev, train=train,
-            rngs=rngs, method=model.forward_features,
-            mutable=["batch_stats"] if train else False)
-        if train:
-            (links, feats), updates = out
-        else:
-            links, feats = out
-            updates = {}
-        return links, feats, updates
+    def decode(prev):
+        return model.apply(
+            enc_vars, prev, enc, enc_pad, train=train, rngs=rngs,
+            method=model.decode_banded if band_links else model.decode)
+
+    def decode_feats(prev):
+        return model.apply(
+            enc_vars, prev, enc, enc_pad, train=train, rngs=rngs,
+            method=(model.decode_features_banded if band_links
+                    else model.decode_features))
 
     def vocab_matrix():
         dec = params["params"]["decoder"]
@@ -378,7 +397,7 @@ def nat_dag_loss(
     # keep_prob -> 0 as p -> 0 (identical expectation, jit-stable shape).
     if use_glat:
         if fused:
-            links1, feats1, _ = forward_feats(prev_output_tokens)
+            links1, feats1 = decode_feats(prev_output_tokens)
             pred1, match1 = streaming_argmax_and_match(
                 feats1, W, b, tgt_tokens, fused_vocab_chunk)
             glat_info = glat_glance(
@@ -386,9 +405,9 @@ def nat_dag_loss(
                 glat_p, vocab.pad, glance_strategy,
                 pred_tokens=pred1, match=match1, sample_mask=sample_mask,
                 max_transition_length=max_transition_length,
-                banded_dp=banded_dp)
+                banded_dp=banded_dp, links_banded=band_links)
         else:
-            logits1, links1, _, _ = forward(prev_output_tokens)
+            logits1, links1, _ = decode(prev_output_tokens)
             glat_info = glat_glance(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
                 glat_p, vocab.pad, glance_strategy, sample_mask=sample_mask,
@@ -401,7 +420,7 @@ def nat_dag_loss(
         matchmask = keep_mask = None
 
     if fused:
-        links, feats, updates = forward_feats(prev2)
+        links, feats = decode_feats(prev2)
         match_all = fused_logsoftmax_gather(
             feats, W, b, tgt_tokens, fused_vocab_chunk)
         loss, metrics = compute_dag_loss(
@@ -410,9 +429,9 @@ def nat_dag_loss(
             no_force_emit=no_force_emit, match_all=match_all,
             sample_mask=sample_mask,
             max_transition_length=max_transition_length,
-            banded_dp=banded_dp)
+            banded_dp=banded_dp, links_banded=band_links)
     else:
-        logits, links, feats, updates = forward(prev2)
+        logits, links, feats = decode(prev2)
         loss, metrics = compute_dag_loss(
             logits, links, tgt_tokens, prev2, vocab.pad,
             matchmask=matchmask, keep_word_mask=keep_mask,

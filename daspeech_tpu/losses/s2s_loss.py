@@ -29,18 +29,8 @@ from daspeech_tpu.ops import (
     dag_best_alignment, dag_logsoftmax_gather, dag_logsoftmax_gather_tokens)
 
 
-def conditional_stop_gradient(x, frozen):
-    """Stop gradients through ``x`` when ``frozen`` — which may be a traced
-    bool scalar (e.g. ``step <= dag_freezing_steps``), matching the
-    reference's ``torch.set_grad_enabled(update_num > dag_freezing_steps)``
-    (``s2s_dag_fastspeech2_loss.py:195``). Values are unchanged either way;
-    the cotangent is gated by the ``where``."""
-    if x is None:
-        return None
-    sg = jax.lax.stop_gradient(x)
-    if isinstance(frozen, bool):
-        return sg if frozen else x
-    return jnp.where(frozen, sg, x)
+from daspeech_tpu.losses.dag_loss import (  # noqa: E402,F401 — re-export
+    conditional_stop_gradient)
 
 
 def _logsumexp_last(x):
@@ -118,6 +108,7 @@ def s2s_dag_fastspeech2_loss(
     fused_vocab_chunk: Optional[int] = None,
     max_transition_length: Optional[int] = None,
     banded_dp: bool = False,
+    freeze_encoder=False,  # bool OR traced bool (encoder_freezing_updates)
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Criterion forward (``S2SDAGFastSpeech2Loss.forward``, ``:94-345``).
 
@@ -148,46 +139,46 @@ def s2s_dag_fastspeech2_loss(
             W_vocab = dec["output_projection"]["kernel"]
         b_vocab = jnp.zeros((W_vocab.shape[1],), jnp.float32)
 
-    # banded end-to-end (see nat_dag_loss): [L, L] never materializes
+    # banded end-to-end (see nat_dag_loss): [L, L] never materializes;
+    # composes with fused_vocab_chunk (decode_features_banded)
     from daspeech_tpu.losses.dag_loss import _band_width
 
-    band_links = (banded_dp and fused_vocab_chunk is None
+    band_links = (banded_dp
                   and _band_width(max_transition_length,
                                   prev_output_tokens.shape[1]) is not None
-                  and hasattr(model, "forward_banded"))
+                  and hasattr(model, "decode_banded"))
 
-    def dag_forward(prev, key, need_logits=True):
-        if band_links:
-            out = model.apply(
-                variables, fbank, src_lengths, prev, train=train,
-                rngs={"dropout": key}, method=model.forward_banded,
-                mutable=["batch_stats"] if train else False)
-            if train:
-                (logits, links, feats), updates = out
-            else:
-                (logits, links, feats), updates = out, {}
-            return logits, links, feats, updates
+    # Encode ONCE; both GLAT passes share the encoder output, matching the
+    # reference (``s2t_conformer_dag.py:236-251``). The glance pass
+    # stop-grads its outputs, so encoder gradients flow only through the
+    # second decode.
+    enc_out = model.apply(
+        variables, fbank, src_lengths, train=train,
+        rngs={"dropout": k_dropout}, method=model.encode,
+        mutable=["batch_stats"] if train else False)
+    if train:
+        (enc, enc_pad, _), updates = enc_out
+    else:
+        (enc, enc_pad, _), updates = enc_out, {}
+    if freeze_encoder is not False:
+        # ``encoder_freezing_updates`` (``s2t_conformer.py:140-154``)
+        enc = conditional_stop_gradient(enc, freeze_encoder)
+
+    def dag_decode(prev, key, need_logits=True):
         if not need_logits:
-            out = model.apply(
-                variables, fbank, src_lengths, prev, train=train,
-                rngs={"dropout": key}, method=model.forward_features,
-                mutable=["batch_stats"] if train else False)
-            if train:
-                (links, feats), updates = out
-            else:
-                (links, feats), updates = out, {}
-            return None, links, feats, updates
-        out = model.apply(
-            variables, fbank, src_lengths, prev, train=train,
-            rngs={"dropout": key}, mutable=["batch_stats"] if train else False)
-        if train:
-            (logits, links, feats), updates = out
-        else:
-            (logits, links, feats), updates = out, {}
-        return logits, links, feats, updates
+            links, feats = model.apply(
+                variables, prev, enc, enc_pad, train=train,
+                rngs={"dropout": key},
+                method=(model.decode_features_banded if band_links
+                        else model.decode_features))
+            return None, links, feats
+        return model.apply(
+            variables, prev, enc, enc_pad, train=train,
+            rngs={"dropout": key},
+            method=model.decode_banded if band_links else model.decode)
 
     if glance_strategy is not None:
-        logits1, links1, feats1, _ = dag_forward(
+        logits1, links1, feats1 = dag_decode(
             prev_output_tokens, k_dropout, need_logits=not fused)
         if fused:
             pred1, match1 = streaming_argmax_and_match(
@@ -197,7 +188,7 @@ def s2s_dag_fastspeech2_loss(
                 glat_p, vocab.pad, glance_strategy,
                 pred_tokens=pred1, match=match1, sample_mask=sample_mask,
                 max_transition_length=max_transition_length,
-                banded_dp=banded_dp)
+                banded_dp=banded_dp, links_banded=band_links)
         else:
             glat_info = glat_glance(
                 k_glat, logits1, links1, tgt_tokens, prev_output_tokens,
@@ -211,7 +202,7 @@ def s2s_dag_fastspeech2_loss(
         prev2 = prev_output_tokens
         matchmask = keep_mask = None
 
-    logits, links, features, updates = dag_forward(
+    logits, links, features = dag_decode(
         prev2, k_dropout, need_logits=not fused)
     if freeze_dag is not False:
         logits = conditional_stop_gradient(logits, freeze_dag)

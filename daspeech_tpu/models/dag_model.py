@@ -314,30 +314,53 @@ class S2TConformerDAG(nn.Module):
                  if require_links else None)
         return logits, links, features
 
-    def forward_features(self, fbank, src_lengths, prev_output_tokens,
-                         train: bool = False):
-        """Forward WITHOUT the vocab projection — for the streaming
+    def decode_features(self, prev_output_tokens, enc, enc_pad,
+                        train: bool = False):
+        """Decode WITHOUT the vocab projection — for the streaming
         fused-vocab loss path (``ops/fused_vocab.py``), which must never
         materialize the [B, L, V] logits."""
-        enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
         features = self.decoder.extract_features(
             prev_output_tokens, enc, enc_pad, train=train)
         links = self.decoder.extract_links(
             features, prev_output_tokens, train=train)
         return links, features
 
-    def forward_banded(self, fbank, src_lengths, prev_output_tokens,
-                       train: bool = False):
-        """Forward with BANDED link extraction: (logits, band [B, L, W],
+    def decode_banded(self, prev_output_tokens, enc, enc_pad,
+                      train: bool = False):
+        """Decode with BANDED link extraction: (logits, band [B, L, W],
         features). With ``--banded-dp`` the [L, L] transition matrix never
         materializes anywhere — O(L*W) links + O(L*W) DP end to end."""
-        enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
         features = self.decoder.extract_features(
             prev_output_tokens, enc, enc_pad, train=train)
         logits = self.decoder.output_layer(features)
         band = self.decoder.extract_links_banded(
             features, prev_output_tokens, train=train)
         return logits, band, features
+
+    def decode_features_banded(self, prev_output_tokens, enc, enc_pad,
+                               train: bool = False):
+        """Banded links WITHOUT the vocab projection: (band, features) —
+        the composition of the fused-vocab (large |V|) and banded (large L)
+        levers; neither the [B, L, V] logits nor the [L, L] links exist."""
+        features = self.decoder.extract_features(
+            prev_output_tokens, enc, enc_pad, train=train)
+        band = self.decoder.extract_links_banded(
+            features, prev_output_tokens, train=train)
+        return band, features
+
+    def forward_features(self, fbank, src_lengths, prev_output_tokens,
+                         train: bool = False):
+        """encode + :meth:`decode_features` in one call."""
+        enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
+        return self.decode_features(prev_output_tokens, enc, enc_pad,
+                                    train=train)
+
+    def forward_banded(self, fbank, src_lengths, prev_output_tokens,
+                       train: bool = False):
+        """encode + :meth:`decode_banded` in one call."""
+        enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
+        return self.decode_banded(prev_output_tokens, enc, enc_pad,
+                                  train=train)
 
     def __call__(self, fbank, src_lengths, prev_output_tokens,
                  train: bool = False):

@@ -52,6 +52,24 @@ class S2SConformerDAGFastSpeech2(nn.Module):
         enc, enc_pad, _ = self.encode(fbank, src_lengths, train=train)
         return self.decode(prev_output_tokens, enc, enc_pad, train=train)
 
+    def decode_features(self, prev_output_tokens, enc, enc_pad,
+                        train: bool = False):
+        """DAG decode without the vocab projection (fused-vocab loss path)."""
+        return self.dag.decode_features(
+            prev_output_tokens, enc, enc_pad, train=train)
+
+    def decode_banded(self, prev_output_tokens, enc, enc_pad,
+                      train: bool = False):
+        """DAG decode with banded links (see ``S2TConformerDAG``)."""
+        return self.dag.decode_banded(
+            prev_output_tokens, enc, enc_pad, train=train)
+
+    def decode_features_banded(self, prev_output_tokens, enc, enc_pad,
+                               train: bool = False):
+        """Banded links, no vocab projection (fused-vocab × banded)."""
+        return self.dag.decode_features_banded(
+            prev_output_tokens, enc, enc_pad, train=train)
+
     def forward_features(self, fbank, src_lengths, prev_output_tokens,
                          train: bool = False):
         """DAG forward without the vocab projection (fused-vocab loss path)."""
