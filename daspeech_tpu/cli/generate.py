@@ -64,13 +64,19 @@ def parse_args(argv=None):
                    choices=["nat_speech_to_text", "nat_speech_to_speech",
                             "text_to_speech"])
     p.add_argument("--generator-type", default="auto",
-                   choices=["auto", "nat_s2s", "nat_tts"],
+                   choices=["auto", "nat_s2s", "nat_tts", "at_tts",
+                            "at_s2s"],
                    help="``generate_features.py:29-76`` dispatch: nat_s2s = "
                         "two-pass DAG+TTS (default for the S2S task), "
                         "nat_tts = FastSpeech2-only phoneme->mel (the "
-                        "text_to_speech task / stage-2 checkpoints); the "
-                        "at_* AR baselines are library-level "
-                        "(decode/speech_generator.py) with no CLI recipe")
+                        "text_to_speech task / stage-2 checkpoints), "
+                        "at_tts = AR Transformer-TTS (cli.train --criterion "
+                        "tts_transformer checkpoints), at_s2s = two-pass AR "
+                        "multi-decoder S2ST (--criterion s2s_multidecoder)")
+    p.add_argument("--max-text-len", type=int, default=200,
+                   help="at_s2s AR text decode budget")
+    p.add_argument("--stop-threshold", type=float, default=0.5,
+                   help="AR mel stop-prediction threshold (at_tts/at_s2s)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="orbax checkpoint dir from cli.train")
     p.add_argument("--model-torch", default=None,
@@ -91,6 +97,12 @@ def parse_args(argv=None):
     p.add_argument("--max-mel-len", type=int, default=1024)
     p.add_argument("--vocoder-checkpoint", default=None,
                    help="orbax checkpoint dir from cli.train_vocoder")
+    p.add_argument("--vocoder-type", default="auto",
+                   choices=["auto", "hifigan", "griffin_lim"],
+                   help="griffin_lim = checkpoint-free mel->wav fallback "
+                        "(``vocoder.py:30-165``/``get_vocoder``); auto = "
+                        "hifigan when a checkpoint is given, else the "
+                        "data config's vocoder type, else none")
     p.add_argument("--vocoder-torch", default=None,
                    help="torch HiFi-GAN generator .pt (weight-normed) to "
                         "import (the reference's VCTK_V1 release format)")
@@ -105,6 +117,10 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.generator_type == "at_tts":
+        return _generate_ar_tts(args)
+    if args.generator_type == "at_s2s":
+        return _generate_at_s2s(args)
     if args.generator_type == "nat_tts" or args.task == "text_to_speech":
         return _generate_tts(args)
     is_s2s = args.task == "nat_speech_to_speech"
@@ -234,7 +250,6 @@ def _generate_tts(args):
     it = task.get_batch_iterator(args.gen_subset)
     probe = next(iter(it))
 
-    ckpt = CheckpointManager(args.checkpoint_dir)
     variables = jax.eval_shape(
         lambda key: model.init(
             key, src_tokens=jnp.asarray(probe["src_tokens"]),
@@ -243,12 +258,7 @@ def _generate_tts(args):
     tx = make_optimizer()
     state_like = jax.eval_shape(lambda v: TrainState.create(v, tx),
                                 variables)
-    state = ckpt.restore(state_like)
-    if state is None:
-        raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
-    params = {"params": state.params}
-    if state.batch_stats:
-        params["batch_stats"] = state.batch_stats
+    params = _restore_params(args, state_like)
 
     vocoder, vocoder_params, gcmvn = _load_vocoder_and_gcmvn(args, task)
     gen = NonAutoregressiveSpeechGenerator(
@@ -276,12 +286,180 @@ def _generate_tts(args):
     return 0
 
 
+def _restore_params(args, state_like):
+    """Restore {params[, batch_stats]} from an orbax TrainState checkpoint
+    dir (with optional last-N averaging)."""
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    state = ckpt.restore(state_like)
+    if state is None:
+        raise SystemExit(f"no checkpoint found in {args.checkpoint_dir}")
+    if args.average_last_n > 1:
+        from daspeech_tpu.train.checkpoint import average_checkpoints
+
+        avg = average_checkpoints(ckpt, state_like,
+                                  last_n=args.average_last_n)
+        state = state.replace(params=avg)
+    params = {"params": state.params}
+    if state.batch_stats:
+        params["batch_stats"] = state.batch_stats
+    return params
+
+
+def _generate_ar_tts(args):
+    """``--generator-type at_tts``: AR Transformer-TTS phoneme->mel(->wav)
+    (``generate_features.py:29-61`` at_tts branch driving
+    ``speech_generator_modified.py:14-95``)."""
+    from daspeech_tpu.core.config import TTSTransformerConfig
+    from daspeech_tpu.decode.speech_generator import (
+        AutoRegressiveSpeechGenerator)
+    from daspeech_tpu.models.tts_transformer import TTSTransformer
+    from daspeech_tpu.tasks import TextToSpeechTask
+
+    task = TextToSpeechTask.setup_task(TaskConfig(data_dir=args.data))
+    task.load_dataset(args.gen_subset)
+    vocab = task.vocab
+
+    from daspeech_tpu.core.config import from_dict, to_dict
+
+    cfg = TTSTransformerConfig()
+    if args.model_yaml:
+        import yaml
+
+        cfg = from_dict(TTSTransformerConfig,
+                        yaml.safe_load(Path(args.model_yaml).read_text()))
+    model = TTSTransformer(vocab_size=vocab.size, pad=vocab.pad,
+                           **to_dict(cfg))
+    if not args.checkpoint_dir:
+        raise SystemExit("at_tts needs --checkpoint-dir (cli.train "
+                         "--criterion tts_transformer output)")
+    it = task.get_batch_iterator(args.gen_subset)
+    probe = next(iter(it))
+    variables = jax.eval_shape(
+        lambda key: model.init(
+            key, jnp.asarray(probe["src_tokens"]),
+            jnp.zeros((probe["src_tokens"].shape[0], 8, cfg.out_dim))),
+        jax.random.key(0))
+    state_like = jax.eval_shape(
+        lambda v: TrainState.create(v, make_optimizer()), variables)
+    params = _restore_params(args, state_like)
+
+    vocoder, vocoder_params, gcmvn = _load_vocoder_and_gcmvn(args, task)
+    gen = AutoRegressiveSpeechGenerator(
+        model, vocab, max_mel_len=args.max_mel_len, vocoder=vocoder,
+        vocoder_params=vocoder_params, gcmvn=gcmvn,
+        stop_threshold=args.stop_threshold)
+
+    out_dir = Path(args.results_path)
+    (out_dir / "feat").mkdir(parents=True, exist_ok=True)
+    n = 0
+    for spec, idxs in it.batches_for_epoch(0):
+        batch = it.collate(spec, idxs)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        hypos = gen.generate(params, jb)
+        for i, local in enumerate(idxs):
+            utt_id = it.dataset.rows[local]["id"]
+            h = hypos[i]
+            np.save(out_dir / "feat" / f"{utt_id}.npy",
+                    np.asarray(h["feature"]).T)
+            if "waveform" in h:
+                (out_dir / "wav").mkdir(exist_ok=True)
+                write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
+                          np.asarray(h["waveform"]))
+            n += 1
+    print(json.dumps({"generated": n, "results": str(out_dir)}))
+    return 0
+
+
+def _generate_at_s2s(args):
+    """``--generator-type at_s2s``: two-pass AR multi-decoder S2ST
+    (``generate_features.py:62-76`` at_s2s branch driving
+    ``speech_generator_modified.py:151-306``)."""
+    from daspeech_tpu.core.config import MultiDecoderConfig, from_dict, to_dict
+    from daspeech_tpu.decode.speech_generator import (
+        MultiDecoderSpeechGenerator)
+    from daspeech_tpu.models.s2s_multidecoder import S2SMultiDecoderModel
+
+    task = NATSpeechToSpeechTask.setup_task(TaskConfig(
+        data_dir=args.data, max_tokens=args.max_tokens))
+    task.load_dataset(args.gen_subset,
+                      upsample_scale=args.src_upsample_scale)
+    vocab = task.vocab
+
+    cfg = MultiDecoderConfig()
+    if args.model_yaml:
+        import yaml
+
+        cfg = from_dict(MultiDecoderConfig,
+                        yaml.safe_load(Path(args.model_yaml).read_text()))
+    model = S2SMultiDecoderModel(
+        vocab_size=vocab.size, pad=vocab.pad, bos=vocab.bos, eos=vocab.eos,
+        **to_dict(cfg))
+    if not args.checkpoint_dir:
+        raise SystemExit("at_s2s needs --checkpoint-dir (cli.train "
+                         "--criterion s2s_multidecoder output)")
+    it = task.get_batch_iterator(args.gen_subset,
+                                 upsample_scale=args.src_upsample_scale)
+    probe = next(iter(it))
+    B = probe["fbank"].shape[0]
+    variables = jax.eval_shape(
+        lambda key: model.init(
+            key, jnp.asarray(probe["fbank"]),
+            jnp.asarray(probe["src_lengths"]),
+            jnp.asarray(probe["target_text"]),
+            jnp.zeros((B, 8, cfg.out_dim))),
+        jax.random.key(0))
+    state_like = jax.eval_shape(
+        lambda v: TrainState.create(v, make_optimizer()), variables)
+    params = _restore_params(args, state_like)
+
+    vocoder, vocoder_params, gcmvn = _load_vocoder_and_gcmvn(args, task)
+    gen = MultiDecoderSpeechGenerator(
+        model, vocab, max_text_len=args.max_text_len,
+        max_mel_len=args.max_mel_len, vocoder=vocoder,
+        vocoder_params=vocoder_params, gcmvn=gcmvn,
+        stop_threshold=args.stop_threshold)
+
+    out_dir = Path(args.results_path)
+    (out_dir / "feat").mkdir(parents=True, exist_ok=True)
+    hypos_file = (out_dir / "hypos.txt").open("w")
+    n = 0
+    for spec, idxs in it.batches_for_epoch(0):
+        batch = it.collate(spec, idxs)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        hypos = gen.generate(params, jb)
+        for i, local in enumerate(idxs):
+            utt_id = it.dataset.rows[local]["id"]
+            h = hypos[i]
+            hypos_file.write(
+                f"{utt_id}\t{task.tgt_dict.string(h['tokens'])}\n")
+            np.save(out_dir / "feat" / f"{utt_id}.npy",
+                    np.asarray(h["feature"]).T)
+            if "waveform" in h:
+                (out_dir / "wav").mkdir(exist_ok=True)
+                write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
+                          np.asarray(h["waveform"]))
+            n += 1
+    hypos_file.close()
+    print(json.dumps({"generated": n, "results": str(out_dir)}))
+    return 0
+
+
 def _load_vocoder_and_gcmvn(args, task):
     """Optional vocoder (``get_vocoder`` dispatch, ``vocoder.py:297-305``)
     and gcmvn stats (flag, else config.yaml's global_cmvn —
     ``data_cfg.py:179-182``)."""
     vocoder = vocoder_params = None
-    if args.vocoder_torch or args.vocoder_checkpoint:
+    cfg_voc_type = None
+    if task is not None and task.data_cfg is not None:
+        cfg_voc_type = task.data_cfg.vocoder.get("type")
+    if (getattr(args, "vocoder_type", "auto") == "griffin_lim"
+            or (getattr(args, "vocoder_type", "auto") == "auto"
+                and cfg_voc_type == "griffin_lim"
+                and not (args.vocoder_torch or args.vocoder_checkpoint))):
+        from daspeech_tpu.models.griffin_lim import GriffinLimVocoder
+
+        vocoder, vocoder_params = GriffinLimVocoder(), {}
+    elif args.vocoder_torch or args.vocoder_checkpoint:
         from daspeech_tpu.core.config import HiFiGANConfig
 
         hifi_cfg = HiFiGANConfig()

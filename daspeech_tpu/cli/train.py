@@ -34,6 +34,7 @@ from daspeech_tpu.core.config import (
     FastSpeech2Config,
     S2SModelConfig,
     from_dict,
+    to_dict,
 )
 from daspeech_tpu.losses import nat_dag_loss, s2s_dag_fastspeech2_loss
 from daspeech_tpu.losses.tts_loss import fastspeech2_criterion
@@ -65,7 +66,11 @@ def parse_args(argv=None):
                             "text_to_speech"])
     p.add_argument("--criterion", default="nat_dag_loss",
                    choices=["nat_dag_loss", "s2s_dag_fastspeech2_loss",
-                            "fastspeech2"])
+                            "fastspeech2", "tts_transformer",
+                            "s2s_multidecoder"],
+                   help="tts_transformer = AR Transformer-TTS baseline "
+                        "(at_tts generation); s2s_multidecoder = UnitY-"
+                        "style two-pass AR S2ST baseline (at_s2s)")
     p.add_argument("--max-sentences", type=int, default=64)
     p.add_argument("--update-freq", type=int, default=1,
                    help="gradient accumulation over N same-bucket batches")
@@ -92,6 +97,9 @@ def parse_args(argv=None):
                    choices=["expect", "argmax"])
     p.add_argument("--tts-loss-weight", type=float, default=5.0)
     p.add_argument("--dag-freezing-steps", type=int, default=-1)
+    p.add_argument("--encoder-freezing-updates", type=int, default=0,
+                   help="freeze the Conformer encoder for the first N "
+                        "updates (``s2t_conformer.py:140-154``)")
     p.add_argument("--src-upsample-scale", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=100)
@@ -145,10 +153,17 @@ def parse_args(argv=None):
 
 
 def build_model_cfg(args, vocab):
+    from daspeech_tpu.core.config import (
+        MultiDecoderConfig, TTSTransformerConfig)
+
     if args.criterion == "fastspeech2":
         cls = FastSpeech2Config
     elif args.criterion == "s2s_dag_fastspeech2_loss":
         cls = S2SModelConfig
+    elif args.criterion == "tts_transformer":
+        cls = TTSTransformerConfig
+    elif args.criterion == "s2s_multidecoder":
+        cls = MultiDecoderConfig
     else:
         cls = DAGModelConfig
     if args.model_yaml:
@@ -158,7 +173,7 @@ def build_model_cfg(args, vocab):
         cfg = from_dict(cls, data)
     else:
         cfg = cls()
-    if cls is FastSpeech2Config:
+    if cls in (FastSpeech2Config, TTSTransformerConfig, MultiDecoderConfig):
         return cfg
     # stamp the actual vocab
     import dataclasses
@@ -193,19 +208,32 @@ def main(argv=None):
     model_cfg = build_model_cfg(args, vocab)
     is_s2s = args.criterion == "s2s_dag_fastspeech2_loss"
     is_tts = args.criterion == "fastspeech2"
+    is_ar_tts = args.criterion == "tts_transformer"
+    is_mdec = args.criterion == "s2s_multidecoder"
     # bf16 compute / fp32 params replaces the reference's fp16+loss-scaling
     # stack; the DAG DP itself always accumulates in fp32 (ops/dag_ref.py)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if is_tts:
         model = FastSpeech2Encoder(model_cfg, vocab_size=vocab.size,
                                    pad=vocab.pad, dtype=dtype)
+    elif is_ar_tts:
+        from daspeech_tpu.models.tts_transformer import TTSTransformer
+
+        model = TTSTransformer(vocab_size=vocab.size, pad=vocab.pad,
+                               dtype=dtype, **to_dict(model_cfg))
+    elif is_mdec:
+        from daspeech_tpu.models.s2s_multidecoder import S2SMultiDecoderModel
+
+        model = S2SMultiDecoderModel(
+            vocab_size=vocab.size, pad=vocab.pad, bos=vocab.bos,
+            eos=vocab.eos, dtype=dtype, **to_dict(model_cfg))
     elif is_s2s:
         model = S2SConformerDAGFastSpeech2(model_cfg, dtype=dtype)
     else:
         model = S2TConformerDAG(model_cfg, dtype=dtype)
 
     # --- init params with one real batch shape
-    if is_tts:
+    if is_tts or is_ar_tts:
         it = task.get_batch_iterator(args.train_subset,
                                      max_sentences=args.max_sentences,
                                      seed=args.seed)
@@ -223,6 +251,15 @@ def main(argv=None):
                 max_out_len=int(jbatch["target_audio"].shape[1]),
                 durations=jbatch["durations"], pitches=jbatch["pitches"],
                 energies=jbatch["energies"])
+        if is_ar_tts:
+            return model.init(
+                key, jbatch["src_tokens"],
+                jnp.zeros_like(jbatch["target_audio"]))
+        if is_mdec:
+            return model.init(
+                key, jbatch["fbank"], jbatch["src_lengths"],
+                jbatch["target_text"],
+                jnp.zeros_like(jbatch["target_audio"]))
         if is_s2s:
             def full(m):
                 logits, links, feats = m(
@@ -267,7 +304,7 @@ def main(argv=None):
         weight_decay=args.weight_decay, clip_norm=args.clip_norm)
     state = TrainState.create(variables, tx)
 
-    uses_bleu_metric = has_valid and not (is_s2s or is_tts)
+    uses_bleu_metric = has_valid and args.criterion == "nat_dag_loss"
     ckpt = CheckpointManager(args.save_dir,
                              keep_last=args.keep_last_checkpoints,
                              maximize_best=uses_bleu_metric)
@@ -291,12 +328,24 @@ def main(argv=None):
               else args.glance_strategy)
     # banded DP when the model caps the transition distance (< L-1)
     mtl = (model_cfg.dag.decoder.max_transition_length if is_s2s
-           else None if is_tts
-           else model_cfg.decoder.max_transition_length)
+           else model_cfg.decoder.max_transition_length
+           if args.criterion == "nat_dag_loss" else None)
 
     def loss_fn(params_dict, batch, key, step):
+        enc_freeze = (step < args.encoder_freezing_updates
+                      if args.encoder_freezing_updates > 0 else False)
         if is_tts:
             return fastspeech2_criterion(model, params_dict, batch, key, vocab)
+        if is_ar_tts:
+            from daspeech_tpu.losses import tts_transformer_criterion
+
+            return tts_transformer_criterion(
+                model, params_dict, batch, key, vocab)
+        if is_mdec:
+            from daspeech_tpu.losses import multidecoder_criterion
+
+            return multidecoder_criterion(
+                model, params_dict, batch, key, vocab)
         glat_p = anneal_value(glat_sched, step)
         if is_s2s:
             # frozen while update_num <= dag_freezing_steps — traced on the
@@ -311,12 +360,14 @@ def main(argv=None):
                 no_force_emit=args.no_force_emit,
                 freeze_dag=freeze,
                 fused_vocab_chunk=args.fused_vocab_chunk,
-                max_transition_length=mtl, banded_dp=args.banded_dp)
+                max_transition_length=mtl, banded_dp=args.banded_dp,
+                freeze_encoder=enc_freeze)
         return nat_dag_loss(
             model, params_dict, batch, key, glat_p, vocab,
             glance_strategy=glance, no_force_emit=args.no_force_emit,
             fused_vocab_chunk=args.fused_vocab_chunk,
-            max_transition_length=mtl, banded_dp=args.banded_dp)
+            max_transition_length=mtl, banded_dp=args.banded_dp,
+            freeze_encoder=enc_freeze)
 
     from jax.sharding import Mesh
 
@@ -341,7 +392,7 @@ def main(argv=None):
     # validation: eval-BLEU through the generator for S2T
     # (``--eval-bleu``, ``nat_speech_to_text.py:280-331``)
     generator = None
-    if has_valid and not (is_s2s or is_tts):
+    if has_valid and args.criterion == "nat_dag_loss":
         generator = task.build_generator(
             model, DecodeConfig(strategy="lookahead"))
 
@@ -386,6 +437,16 @@ def main(argv=None):
         if is_tts:
             return fastspeech2_criterion(
                 model, params_dict, batch, key, vocab, train=False)
+        if is_ar_tts:
+            from daspeech_tpu.losses import tts_transformer_criterion
+
+            return tts_transformer_criterion(
+                model, params_dict, batch, key, vocab, train=False)
+        if is_mdec:
+            from daspeech_tpu.losses import multidecoder_criterion
+
+            return multidecoder_criterion(
+                model, params_dict, batch, key, vocab, train=False)
         return s2s_dag_fastspeech2_loss(
             model, params_dict, batch, key, jnp.asarray(0.0), vocab,
             tts_loss_weight=args.tts_loss_weight,
@@ -394,7 +455,8 @@ def main(argv=None):
             train=False, fused_vocab_chunk=args.fused_vocab_chunk,
             max_transition_length=mtl, banded_dp=args.banded_dp)
 
-    uses_valid_loss = has_valid and (is_s2s or is_tts)
+    uses_valid_loss = has_valid and (is_s2s or is_tts or is_ar_tts
+                                     or is_mdec)
     eval_step = (jax.jit(
         lambda pd, b, key: eval_loss_fn(pd, b, key)[1]["metrics"])
         if uses_valid_loss else None)
@@ -442,7 +504,7 @@ def main(argv=None):
         """Mean per-sentence valid loss, sample_mask-weighted."""
         if not uses_valid_loss:
             return None
-        if is_tts:
+        if is_tts or is_ar_tts:
             vit = task.get_batch_iterator(
                 args.valid_subset, max_sentences=args.max_sentences,
                 seed=args.seed)

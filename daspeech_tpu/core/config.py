@@ -106,9 +106,46 @@ class FastSpeech2Config:
     postnet_conv_dim: int = 512
     postnet_conv_kernel_size: int = 5
     postnet_dropout: float = 0.5
-    speaker_embed_dim: int = 0       # 0 = no speaker embedding
+    speaker_embed_dim: int = 64      # used only when num_speakers > 0
+    num_speakers: int = 0            # 0 = single-speaker (no embedding)
     max_positions: int = 4096
     mel_mult: int = 8                # padded mel buckets: multiple of this
+
+
+@dataclass(frozen=True)
+class TTSTransformerConfig:
+    """AR Transformer-TTS baseline (fairseq ``tts_transformer``), driven by
+    the ``at_tts`` generator type (``generate_features.py:29-61``)."""
+    embed_dim: int = 256
+    ffn_dim: int = 1024
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    num_heads: int = 4
+    dropout: float = 0.1
+    prenet_dim: int = 256
+    out_dim: int = 80
+    add_postnet: bool = False
+
+
+@dataclass(frozen=True)
+class MultiDecoderConfig:
+    """UnitY-style two-pass AR S2ST baseline
+    (``speech_generator_modified.py:151-306`` / the ``at_s2s`` generator)."""
+    encoder_embed_dim: int = 256
+    encoder_layers: int = 12
+    encoder_heads: int = 4
+    mt_embed_dim: int = 256
+    mt_layers: int = 4
+    mt_heads: int = 4
+    ffn_dim: int = 1024
+    synth_encoder_layers: int = 2
+    tts_decoder_layers: int = 4
+    prenet_dim: int = 256
+    out_dim: int = 80
+    dropout: float = 0.1
+    conv_channels: int = 256
+    depthwise_kernel_size: int = 31
+    max_positions: int = 1024
 
 
 @dataclass(frozen=True)
