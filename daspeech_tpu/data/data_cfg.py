@@ -141,10 +141,15 @@ class S2TDataConfig:
                 freq_mask_f=c.get("freq_mask_F", 27),
                 time_mask_n=c.get("time_mask_N", 2),
                 time_mask_t=c.get("time_mask_T", 100),
-                time_mask_p=c.get("time_mask_p", 1.0))
+                time_mask_p=c.get("time_mask_p", 1.0),
+                # the recipes spell it time_wrap_W (README.md:107,183);
+                # accept the reference code's time_warp_W too
+                time_warp_w=c.get("time_wrap_W", c.get("time_warp_W", 0)))
         if name == "delta_deltas":
-            raise ValueError(
-                "delta_deltas is not supported (no DASpeech recipe uses it)")
+            from daspeech_tpu.data.transforms import DeltaDeltas
+
+            c = self.config.get("delta_deltas", {}) or {}
+            return DeltaDeltas(win_length=c.get("win_length", 5))
         raise ValueError(f"unknown feature transform {name!r}")
 
 

@@ -231,6 +231,7 @@ class FastSpeech2Encoder(nn.Module):
         energies: Optional[jnp.ndarray] = None,
         d_factor: float = 1.0,
         train: bool = False,
+        speaker: Optional[jnp.ndarray] = None,        # [B] int speaker ids
     ):
         c = self.cfg
         if src_tokens is not None:
@@ -261,6 +262,23 @@ class FastSpeech2Encoder(nn.Module):
                 c.fft_kernel_size, c.dropout, c.attention_dropout,
                 dtype=self.dtype, name=f"encoder_fft_{i}",
             )(x, enc_pad_mask, train=train)
+
+        if c.speaker_embed_dim > 0 and c.num_speakers > 0:
+            # multi-speaker conditioning (``fastspeech2.py:226-238,305-309``):
+            # per-utterance speaker embedding broadcast over time, concat,
+            # project back to the encoder width
+            if speaker is None:
+                speaker = jnp.zeros((x.shape[0],), jnp.int32)
+            emb = nn.Embed(
+                c.num_speakers, c.speaker_embed_dim,
+                embedding_init=nn.initializers.normal(
+                    c.speaker_embed_dim ** -0.5),
+                dtype=self.dtype, name="embed_speaker")(speaker)  # [B, E]
+            emb = jnp.broadcast_to(
+                emb[:, None, :], (x.shape[0], x.shape[1], c.speaker_embed_dim))
+            x = nn.Dense(c.encoder_embed_dim, dtype=self.dtype,
+                         name="spk_emb_proj")(
+                jnp.concatenate([x, emb], axis=-1))
 
         x, out_lens, log_dur_out, pitch_out, energy_out = VarianceAdaptor(
             c, dtype=self.dtype, name="var_adaptor",

@@ -314,3 +314,57 @@ class TestBandedDPGate:
             return float(loss)
 
         np.testing.assert_allclose(run(True), run(False), rtol=1e-5)
+
+
+class TestEncoderFreezing:
+    def test_encoder_frozen_until_step(self):
+        """``encoder_freezing_updates`` (``s2t_conformer.py:140-154``):
+        encoder grads exactly zero while step < N, alive after; decoder
+        grads alive in both regimes."""
+        from daspeech_tpu.losses import nat_dag_loss
+        from daspeech_tpu.models import S2TConformerDAG
+        from daspeech_tpu.core.config import DAGModelConfig
+
+        cfg = DAGModelConfig(
+            vocab=VOCAB,
+            encoder=ConformerConfig(
+                embed_dim=16, ffn_dim=32, num_layers=1, num_heads=2,
+                conv_channels=16, depthwise_kernel_size=7, dropout=0.0,
+                attn_dropout=0.0),
+            decoder=DAGDecoderConfig(
+                embed_dim=16, ffn_dim=32, num_layers=1, num_heads=2,
+                dropout=0.0, attn_dropout=0.0, activation_dropout=0.0,
+                max_target_positions=32))
+        model = S2TConformerDAG(cfg)
+        b = s2s_batch()
+        batch = {"fbank": b["fbank"], "src_lengths": b["src_lengths"],
+                 "target": b["target_text"],
+                 "prev_output_tokens": b["prev_output_tokens"]}
+        variables = fast_init(
+            model, jax.random.key(0), batch["fbank"], batch["src_lengths"],
+            batch["prev_output_tokens"])
+        params = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+        N = 5
+
+        @jax.jit
+        def grads_at(step):
+            def lossf(p):
+                loss, _ = nat_dag_loss(
+                    model,
+                    {"params": p, "batch_stats": params["batch_stats"]},
+                    batch, jax.random.key(1), jnp.asarray(0.3), VOCAB,
+                    train=False, freeze_encoder=step < N)
+                return loss
+            return jax.grad(lossf)(params["params"])
+
+        def total(tree):
+            return sum(float(jnp.abs(x).sum())
+                       for x in jax.tree.leaves(tree))
+
+        g_frozen = grads_at(jnp.asarray(2))
+        g_live = grads_at(jnp.asarray(8))
+        assert total(g_frozen["encoder"]) == 0.0
+        assert total(g_live["encoder"]) > 0.0
+        assert total(g_frozen["decoder"]) > 0.0
+        assert total(g_live["decoder"]) > 0.0

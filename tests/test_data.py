@@ -122,6 +122,45 @@ class TestTransforms:
         assert y.shape == x.shape
         assert (y != x).any()  # something masked
 
+    def test_specaugment_time_warp(self):
+        """cv2-free linear time warp (``specaugment.py:96-111``):
+        shape-preserving, finite, and actually displaces content."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(80, 16)).astype(np.float32)
+        sa = SpecAugment(freq_mask_n=0, time_mask_n=0, time_warp_w=20,
+                         rng=np.random.default_rng(2))  # draws w0=53, w=-9
+        y = sa(x)
+        assert y.shape == x.shape
+        assert np.isfinite(y).all()
+        assert (y != x).any()
+        # warp preserves total energy approximately (pure interpolation)
+        assert abs(y.mean() - x.mean()) < 0.2
+
+    def test_delta_deltas_matches_regression_oracle(self):
+        """``delta_deltas.py`` parity against a naive per-element
+        implementation of torchaudio's ``compute_deltas`` regression
+        formula (replicate edge padding, N = (win-1)//2)."""
+        from daspeech_tpu.data.transforms import DeltaDeltas
+
+        def naive_delta(x, N=2):
+            T, F = x.shape
+            denom = 2 * sum(i * i for i in range(1, N + 1))
+            out = np.zeros_like(x)
+            for t in range(T):
+                for i in range(1, N + 1):
+                    out[t] += i * (x[min(t + i, T - 1)]
+                                   - x[max(t - i, 0)])
+            return out / denom
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(30, 8)).astype(np.float32)
+        out = DeltaDeltas(win_length=5)(x)
+        assert out.shape == (30, 24)
+        d = naive_delta(x)
+        dd = naive_delta(d)
+        ref = np.concatenate([x, d, dd], axis=1)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
 
 class TestDatasetsAndBatching:
     def test_s2t_items_and_feasibility_filter(self, tmp_path):

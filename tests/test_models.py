@@ -183,6 +183,39 @@ class TestFastSpeech2:
             np.asarray(out_lens), np.asarray(dur.sum(axis=1)))
         assert log_dur.shape == (B, T) and p_out.shape == (B, T)
 
+    def test_speaker_embedding_conditions_output(self):
+        """``speaker_embed_dim``/``num_speakers`` (``fastspeech2.py:
+        226-238,305-309``): different speaker ids must produce different
+        mels; omitting ``speaker`` defaults to id 0."""
+        import dataclasses
+
+        cfg = dataclasses.replace(tiny_fs2_cfg(), num_speakers=3,
+                                  speaker_embed_dim=8)
+        model = FastSpeech2Encoder(cfg, vocab_size=11, pad=1)
+        rng = np.random.default_rng(6)
+        B, T, M = 2, 5, 20
+        tokens = jnp.asarray(rng.integers(3, 11, size=(B, T)), jnp.int32)
+        dur = jnp.full((B, T), M // T, jnp.int32)
+        pitch = jnp.zeros((B, T), jnp.float32)
+        energy = jnp.zeros((B, T), jnp.float32)
+        spk = jnp.asarray([0, 0], jnp.int32)
+        params = fast_init(
+            model, jax.random.key(0), src_tokens=tokens, max_out_len=M,
+            durations=dur, pitches=pitch, energies=energy, speaker=spk)
+        assert "embed_speaker" in params["params"]
+
+        def run(speaker):
+            mel, *_ = model.apply(
+                params, src_tokens=tokens, max_out_len=M, durations=dur,
+                pitches=pitch, energies=energy, speaker=speaker)
+            return np.asarray(mel)
+
+        m0 = run(jnp.asarray([0, 0], jnp.int32))
+        m1 = run(jnp.asarray([1, 2], jnp.int32))
+        m_default = run(None)
+        assert np.abs(m0 - m1).max() > 1e-4     # speaker changes the mel
+        np.testing.assert_allclose(m_default, m0)  # None -> speaker 0
+
     def test_noemb_inference_path(self):
         cfg = tiny_fs2_cfg()
         model = FastSpeech2Encoder(cfg, vocab_size=0, pad=1)
