@@ -133,6 +133,13 @@ def parse_args(argv=None):
                    help="stream the vocab projection in chunks of this size "
                         "(never materializes B*L*V logits; for large "
                         "multilingual vocabularies)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host rendezvous address host:port "
+                        "(jax.distributed.initialize); also via "
+                        "DASPEECH_COORDINATOR. Omit on single host / "
+                        "autodetected clusters (TPU pod, SLURM)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 5-15 to DIR")
     p.add_argument("--tensorboard-logdir", default=None,
@@ -188,6 +195,16 @@ def build_model_cfg(args, vocab):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host rendezvous BEFORE any device query (distributed/utils.py:
+    # 273-347 equivalent); no-op on plain single-process runs
+    from daspeech_tpu.parallel.multihost import initialize_distributed
+
+    multi_host = initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id)
+    if multi_host:
+        print(f"multi-host runtime: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global / "
+              f"{len(jax.local_devices())} local devices", file=sys.stderr)
     task_cls = {"nat_speech_to_speech": NATSpeechToSpeechTask,
                 "text_to_speech": TextToSpeechTask}.get(
                     args.task, NATSpeechToTextTask)
@@ -369,13 +386,28 @@ def main(argv=None):
             max_transition_length=mtl, banded_dp=args.banded_dp,
             freeze_encoder=enc_freeze)
 
-    from jax.sharding import Mesh
+    from daspeech_tpu.parallel.multihost import (
+        global_data_mesh, host_local_batch_to_global, process_batch_slice)
 
-    devices = np.asarray(jax.devices())
-    mesh = Mesh(devices.reshape(-1), ("data",))
+    mesh = global_data_mesh("data")
     step_fn = jit_data_parallel(
         make_train_step(loss_fn, tx, accum_steps=args.update_freq), mesh,
         batch_dim=1 if args.update_freq > 1 else 0)
+    batch_dim = 1 if args.update_freq > 1 else 0
+
+    def to_device(batch):
+        """Single-host: plain device arrays (sharded inside the jit).
+        Multi-host: every process iterates the same seeded batches; each
+        keeps ITS contiguous row block (the reference's shard-by-rank,
+        ``data/iterators.py``) and the global sharded array is assembled
+        from the local blocks (jax.make_array_from_process_local_data)."""
+        if not multi_host:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        any_leaf = next(iter(batch.values()))
+        sl = process_batch_slice(any_leaf.shape[batch_dim])
+        idx = (slice(None),) * batch_dim + (sl,)
+        local = {k: np.asarray(v)[idx] for k, v in batch.items()}
+        return host_local_batch_to_global(local, mesh, "data", batch_dim)
 
     sinks = []
     if args.tensorboard_logdir:
@@ -577,7 +609,7 @@ def main(argv=None):
                     batch = {k: np.stack([b[k] for b in buf])
                              for k in buf[0]}
                     accum[spec] = []
-                jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                jb = to_device(batch)
                 if args.profile_dir and update == 5:
                     jax.profiler.start_trace(args.profile_dir)
                 if args.profile_dir and update == 15:

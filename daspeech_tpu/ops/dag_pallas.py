@@ -30,6 +30,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Module-level interpret switch: lets the custom-vjp wrappers (whose
+# signatures are fixed by defvjp) run in Pallas interpret mode on CPU —
+# the test suite flips this to exercise grads-through-the-Pallas-forward
+# without TPU hardware.
+INTERPRET = False
+
+
 def _fb_kernel(ol_pre, tl_pre, b0, bpp, match_ref, links_ref,
                alpha_ref, beta_ref, explinks_ref):
     """``bpp`` batch elements per program, alpha and beta sweeps interleaved
@@ -157,7 +164,7 @@ def dag_loss_forward_pallas(
             jax.ShapeDtypeStruct((Bp, Tp, Lp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, Tp, Lp), jnp.float32),
         ],
-        interpret=interpret,
+        interpret=interpret or INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(1.2 * bpp * per + 2 ** 21),
         ),

@@ -1,0 +1,158 @@
+"""Multi-host (multi-process / multi-slice) training initialization.
+
+Replaces the reference's rendezvous + pickled-collective layer
+(``fairseq/fairseq/distributed/utils.py:87-157`` SLURM/env init,
+``:273-347`` ``distributed_init``, ``:526-667`` ``all_gather_list``) with
+the JAX runtime's native facilities:
+
+- rendezvous: :func:`jax.distributed.initialize` (coordinator address +
+  process count + process id, each from flags, env vars, or the cluster
+  autodetect JAX ships for TPU pods/SLURM/GKE);
+- per-process data feeding: each host loads ITS shard of the batch and
+  :func:`host_local_batch_to_global` assembles the global ``jax.Array``
+  from process-local shards (``jax.make_array_from_process_local_data``) —
+  the moral equivalent of the reference's per-rank DataLoader shards
+  (``EpochBatchIterator`` shard-by-rank, ``data/iterators.py``);
+- host-side object exchange: :func:`all_gather_host` via
+  ``jax.experimental.multihost_utils`` (SURVEY.md §2d maps
+  ``all_gather_list`` -> ``multihost_utils``).
+
+Single-process use is a no-op throughout: every function degrades to local
+behavior when ``jax.process_count() == 1``, so the train CLI calls these
+unconditionally. A real DCN rendezvous cannot run on this one-host harness;
+the mesh/spec/shard logic is unit-tested with a mocked process topology
+(``tests/test_multihost.py``) and the single-process degradation runs on
+the 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_COORDINATOR = "DASPEECH_COORDINATOR"
+ENV_NUM_PROCESSES = "DASPEECH_NUM_PROCESSES"
+ENV_PROCESS_ID = "DASPEECH_PROCESS_ID"
+
+
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> bool:
+    """Join the global runtime. Resolution order per field: explicit arg ->
+    ``DASPEECH_*`` env var -> JAX cluster autodetect (TPU pod metadata,
+    SLURM, GKE — ``jax.distributed.initialize()`` with no args).
+
+    Returns True if a multi-process runtime was (or already is) up, False
+    for the single-process fallback. Safe to call twice (second call is a
+    no-op). The reference's equivalent is ``infer_init_method`` +
+    ``distributed_init`` (``distributed/utils.py:46-180,273-347``).
+    """
+    coordinator = coordinator or os.environ.get(ENV_COORDINATOR)
+    if num_processes is None and os.environ.get(ENV_NUM_PROCESSES):
+        num_processes = int(os.environ[ENV_NUM_PROCESSES])
+    if process_id is None and os.environ.get(ENV_PROCESS_ID):
+        process_id = int(os.environ[ENV_PROCESS_ID])
+
+    if jax.process_count() > 1:
+        return True               # already initialized (e.g. by the runner)
+    explicit = coordinator is not None
+    autodetect = (not explicit and num_processes is None
+                  and _cluster_env_present())
+    if not explicit and not autodetect:
+        return False              # plain single-process run
+    if explicit and (num_processes is None or process_id is None):
+        raise ValueError(
+            "--coordinator requires --num-processes and --process-id "
+            "(or their DASPEECH_* env vars)")
+    kwargs = {}
+    if explicit:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+        if local_device_ids is not None:
+            kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
+
+
+def _cluster_env_present() -> bool:
+    """True when a known cluster environment advertises a MULTI-worker
+    topology JAX can autodetect (mirrors the reference's SLURM sniffing,
+    ``distributed/utils.py:87-157``). Single-worker signals (e.g. a
+    one-host ``TPU_WORKER_HOSTNAMES``) must NOT trigger rendezvous."""
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    if (os.environ.get("SLURM_JOB_ID")
+            and int(os.environ.get("SLURM_NTASKS", "1") or 1) > 1):
+        return True
+    return "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+
+
+def global_data_mesh(axis: str = "data",
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over ALL devices in the global runtime (every process sees
+    every device in ``jax.devices()``); single-process it equals the local
+    mesh the CLI built before."""
+    devs = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devs.reshape(-1), (axis,))
+
+
+def process_batch_slice(num_items: int,
+                        process_index: Optional[int] = None,
+                        process_count: Optional[int] = None) -> slice:
+    """Which rows of the GLOBAL batch this process should load — the
+    shard-by-rank contract of the reference's ``EpochBatchIterator``
+    (contiguous block per process; ``num_items`` must divide evenly, which
+    the fixed-shape bucket batcher guarantees by construction)."""
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    if num_items % pc:
+        raise ValueError(
+            f"global batch of {num_items} does not divide over {pc} "
+            f"processes — pick max_sentences as a multiple of {pc}")
+    per = num_items // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+def host_local_batch_to_global(batch: Dict[str, np.ndarray], mesh: Mesh,
+                               axis: str = "data", batch_dim: int = 0
+                               ) -> Dict[str, jax.Array]:
+    """Assemble global ``jax.Array``s from each process's local shard
+    (``jax.make_array_from_process_local_data``). ``batch`` holds THIS
+    process's rows only; the result behaves like the full global batch
+    sharded over ``axis``. Single-process this is just device_put with a
+    sharding."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        spec = P(*([None] * batch_dim + [axis])) if v.ndim else P()
+        sharding = NamedSharding(mesh, spec)
+        out[k] = jax.make_array_from_process_local_data(sharding, v)
+    return out
+
+
+def all_gather_host(value):
+    """Gather a (pytree of) host values from every process
+    (``multihost_utils.process_allgather`` ≡ the reference's pickled
+    ``all_gather_list``, ``distributed/utils.py:526-667``). Identity-like
+    (adds a leading axis of size 1) in single-process runs."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(value)
+
+
+def broadcast_host(value):
+    """Broadcast process 0's host value to all processes
+    (``multihost_utils.broadcast_one_to_all`` ≡ ``distributed/utils.py``
+    ``broadcast_object``). Identity in single-process runs."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(value)

@@ -78,3 +78,5 @@ class TestTransfer:
         assert out["encoder"] == 10 and out["decoder"] == 2
         with pytest.raises(KeyError):
             load_pretrained_component(tgt, src, "decoder")
+
+pytestmark = pytest.mark.slow

@@ -13,6 +13,8 @@ import yaml
 
 from test_data import make_dataset
 
+pytestmark = pytest.mark.slow
+
 TINY_MODEL = {
     "encoder": {"embed_dim": 16, "ffn_dim": 32, "num_layers": 1,
                 "num_heads": 2, "conv_channels": 32,

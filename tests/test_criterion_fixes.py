@@ -368,3 +368,5 @@ class TestEncoderFreezing:
         assert total(g_live["encoder"]) > 0.0
         assert total(g_frozen["decoder"]) > 0.0
         assert total(g_live["decoder"]) > 0.0
+
+pytestmark = pytest.mark.slow

@@ -20,6 +20,8 @@ from daspeech_tpu.ops.dag_ref import (
 )
 from daspeech_tpu.ops.links_utils import band_to_full, full_to_band
 
+pytestmark = pytest.mark.slow
+
 
 def random_banded_problem(rng, B=3, T=6, L=12, W=4):
     """Random feasible banded DAG problem (band entries are log-probs of a

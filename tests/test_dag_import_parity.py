@@ -177,3 +177,5 @@ def test_dag_decoder_import_parity():
     fin = np.isfinite(t_l)
     np.testing.assert_array_equal(fin, np.isfinite(f_l))
     np.testing.assert_allclose(f_l[fin], t_l[fin], rtol=1e-4, atol=2e-3)
+
+pytestmark = pytest.mark.slow

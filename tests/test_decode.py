@@ -276,3 +276,5 @@ class TestLengthBeam:
         for b in range(B):
             assert (toks[b, :lens[b]] != cfg.vocab.pad).all()
         assert np.isfinite(s1).all()
+
+pytestmark = pytest.mark.slow

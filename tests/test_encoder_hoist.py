@@ -4,6 +4,8 @@ hoisted computation is bit-comparable to the naive two-full-forward
 version under active dropout (same rng keys => same masks), for both the
 S2TT criterion and the joint S2ST criterion."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -184,3 +186,5 @@ class TestEncoderHoist:
                         jax.tree.leaves(g_none["encoder"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-7)
+
+pytestmark = pytest.mark.slow

@@ -8,6 +8,8 @@ import pytest
 from daspeech_tpu.ops import dag_logsoftmax_gather
 from daspeech_tpu.ops.fused_vocab import fused_logsoftmax_gather
 
+pytestmark = pytest.mark.slow
+
 
 def direct(feat, W, bias, targets):
     logits = feat @ W + bias                     # [B, L, V]

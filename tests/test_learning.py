@@ -26,6 +26,8 @@ from daspeech_tpu.models import (
 )
 from daspeech_tpu.train import TrainState, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow
+
 N_PHONES = 8           # symbols 4..11
 FRAMES_PER_PHONE = 8   # so 4x subsampling leaves 2 encoder frames per phone
 

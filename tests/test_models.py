@@ -303,3 +303,5 @@ class TestS2SModel:
         mel, _, out_lens, log_dur, _, _ = model.apply(params, method=run)
         assert mel.shape == (B, M, 80)
         assert np.isfinite(np.asarray(mel)).all()
+
+pytestmark = pytest.mark.slow

@@ -2,6 +2,8 @@
 the MultiDecoder speech generator (text stop, mel stop, gcmvn-denormalized
 vocoder input), and the multitask text-target dataset."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,8 @@ from daspeech_tpu.data.datasets import (
 from daspeech_tpu.decode.speech_generator import MultiDecoderSpeechGenerator
 from daspeech_tpu.losses import multidecoder_criterion
 from daspeech_tpu.models import S2SMultiDecoderModel
+
+pytestmark = pytest.mark.slow
 
 VOCAB = VocabConfig(size=16)
 

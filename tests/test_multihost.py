@@ -1,0 +1,136 @@
+"""Multi-host initialization plumbing (``parallel/multihost.py``).
+
+A real DCN rendezvous cannot run on this single-host harness; what CAN be
+verified is exactly what the reference's own tests cover for its
+distributed utils (mock-based, ``fairseq/tests/distributed/``):
+
+- argument/env resolution and error paths of ``initialize_distributed``
+  with ``jax.distributed.initialize`` mocked out,
+- the shard-by-rank slice math against a mocked process topology,
+- single-process degradation of the global-mesh / local-to-global batch
+  path, run for real on the 8-device CPU mesh (each virtual device takes
+  1/8 of the batch, values round-trip exactly).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from daspeech_tpu.parallel import multihost as mh
+
+
+class TestInitializeResolution:
+    def test_single_process_noop(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        for var in (mh.ENV_COORDINATOR, mh.ENV_NUM_PROCESSES,
+                    mh.ENV_PROCESS_ID, "SLURM_JOB_ID",
+                    "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(var, raising=False)
+        # a SINGLE-host TPU_WORKER_HOSTNAMES (this harness sets one) must
+        # not trigger rendezvous either
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+        assert mh.initialize_distributed() is False
+        assert calls == []
+
+    def test_explicit_args_forwarded(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        mh.initialize_distributed("10.0.0.1:1234", 4, 2,
+                                  local_device_ids=[0])
+        assert calls == [dict(coordinator_address="10.0.0.1:1234",
+                              num_processes=4, process_id=2,
+                              local_device_ids=[0])]
+
+    def test_env_fallback(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        monkeypatch.setenv(mh.ENV_COORDINATOR, "head:9999")
+        monkeypatch.setenv(mh.ENV_NUM_PROCESSES, "2")
+        monkeypatch.setenv(mh.ENV_PROCESS_ID, "1")
+        mh.initialize_distributed()
+        assert calls and calls[0]["coordinator_address"] == "head:9999"
+        assert calls[0]["num_processes"] == 2
+        assert calls[0]["process_id"] == 1
+
+    def test_cluster_autodetect(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        monkeypatch.delenv(mh.ENV_COORDINATOR, raising=False)
+        monkeypatch.setenv("SLURM_JOB_ID", "12345")
+        monkeypatch.setenv("SLURM_NTASKS", "4")
+        mh.initialize_distributed()
+        assert calls == [{}]          # bare initialize() -> autodetect
+
+    def test_multiworker_tpu_hostnames_autodetect(self, monkeypatch):
+        calls = []
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: calls.append(kw))
+        monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1,host2,host3")
+        mh.initialize_distributed()
+        assert calls == [{}]
+
+    def test_incomplete_explicit_args_raise(self, monkeypatch):
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: None)
+        with pytest.raises(ValueError):
+            mh.initialize_distributed("head:1", None, None)
+
+
+class TestShardByRank:
+    def test_slices_partition_the_batch(self):
+        got = [mh.process_batch_slice(32, pi, 4) for pi in range(4)]
+        rows = np.arange(32)
+        parts = [rows[s] for s in got]
+        np.testing.assert_array_equal(np.concatenate(parts), rows)
+        assert all(len(p) == 8 for p in parts)
+
+    def test_uneven_batch_raises(self):
+        with pytest.raises(ValueError):
+            mh.process_batch_slice(30, 0, 4)
+
+    def test_defaults_use_runtime_topology(self):
+        # single-process runtime: the slice is the whole batch
+        assert mh.process_batch_slice(16) == slice(0, 16)
+
+
+class TestSingleProcessDegradation:
+    def test_global_mesh_covers_all_devices(self):
+        mesh = mh.global_data_mesh()
+        assert mesh.devices.size == len(jax.devices()) == 8
+
+    def test_local_to_global_roundtrip_on_8_device_mesh(self):
+        mesh = mh.global_data_mesh()
+        rng = np.random.default_rng(0)
+        batch = {"x": rng.normal(size=(16, 5)).astype(np.float32),
+                 "n": np.arange(16, dtype=np.int32)}
+        out = mh.host_local_batch_to_global(batch, mesh)
+        assert out["x"].sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
+        np.testing.assert_array_equal(np.asarray(out["n"]), batch["n"])
+        # each device holds exactly 1/8 of the leading axis
+        shard_shapes = {s.data.shape for s in out["x"].addressable_shards}
+        assert shard_shapes == {(2, 5)}
+
+    def test_microbatch_axis_layout(self):
+        """update_freq > 1 stacks microbatches on axis 0; sharding rides
+        axis 1 (the real batch axis)."""
+        mesh = mh.global_data_mesh()
+        batch = {"x": np.zeros((2, 16, 3), np.float32)}
+        out = mh.host_local_batch_to_global(batch, mesh, batch_dim=1)
+        assert out["x"].sharding.spec == P(None, "data")
+
+    def test_host_collectives_degrade(self):
+        g = mh.all_gather_host(np.asarray([1.0, 2.0]))
+        np.testing.assert_allclose(np.asarray(g).reshape(-1)[-2:],
+                                   [1.0, 2.0])
+        b = mh.broadcast_host(np.asarray(7))
+        assert int(np.asarray(b)) == 7

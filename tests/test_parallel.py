@@ -29,6 +29,8 @@ from daspeech_tpu.train import TrainState, make_optimizer, make_train_step
 from test_models import tiny_dag_cfg
 from test_train import make_batch
 
+pytestmark = pytest.mark.slow
+
 
 class TestPartitionRules:
     def test_megatron_specs(self):

@@ -31,6 +31,8 @@ from daspeech_tpu.models import (
 )
 from daspeech_tpu.train.torch_import import import_s2s_daspeech
 
+pytestmark = pytest.mark.slow
+
 V, D_ENC, D_DEC, H, FFN = 24, 16, 32, 4, 64
 CC = 8              # conformer subsampler conv channels
 TTS_D, TTS_FFN, NBINS = 16, 32, 8

@@ -15,6 +15,8 @@ import pytest
 jnp = pytest.importorskip("jax.numpy")
 import jax  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 REF = Path("/root/reference")
 
 

@@ -27,6 +27,8 @@ from daspeech_tpu.train import (
 )
 from test_models import tiny_dag_cfg
 
+pytestmark = pytest.mark.slow
+
 
 def make_batch(rng, cfg, B=2, S=33, L=16, T=6):
     fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))

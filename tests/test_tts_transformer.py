@@ -9,6 +9,8 @@ from testutils import fast_init
 
 from daspeech_tpu.models.tts_transformer import TTSTransformer
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_model():
     return TTSTransformer(vocab_size=12, embed_dim=16, ffn_dim=32,

@@ -9,6 +9,8 @@ import pytest
 from daspeech_tpu.core.config import HiFiGANConfig
 from daspeech_tpu.train.vocoder_train import VocoderTrainer
 
+pytestmark = pytest.mark.slow
+
 
 class TestVocoderTrainer:
     def test_alternating_step_moves_both_networks(self):
