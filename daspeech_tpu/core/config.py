@@ -56,6 +56,9 @@ class DAGDecoderConfig:
     links_feature: str = "feature:position"
     max_transition_length: int = 99999
     src_upsample_scale: float = 0.5
+    # Pallas fused attention (QK^T->mask->softmax->dropout->V in one VMEM
+    # kernel, ops/fused_attention.py); TPU-only, auto-fallback elsewhere
+    fused_attention: bool = True
 
 
 @dataclass(frozen=True)

@@ -56,6 +56,7 @@ class GlatLinkDecoder(nn.Module):
     max_target_positions: int = 1024
     links_feature: str = "feature:position"
     max_transition_length: int = 99999
+    fused_attention: bool = True    # Pallas fused MHA on TPU (layers.py)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -71,6 +72,7 @@ class GlatLinkDecoder(nn.Module):
             TransformerDecoderLayer(
                 self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
                 self.attn_dropout, self.activation_dropout, self.activation,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
@@ -296,7 +298,8 @@ class S2TConformerDAG(nn.Module):
             share_input_output_embed=d.share_input_output_embed,
             max_target_positions=d.max_target_positions,
             links_feature=d.links_feature,
-            max_transition_length=d.max_transition_length, dtype=self.dtype)
+            max_transition_length=d.max_transition_length,
+            fused_attention=d.fused_attention, dtype=self.dtype)
 
     def encode(self, fbank, src_lengths, train: bool = False):
         enc, enc_pad, enc_lens = self.encoder(fbank, src_lengths, train=train)

@@ -94,6 +94,8 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     causal: bool = False
+    fused: bool = False       # Pallas fused-attention kernel (TPU only;
+    #                           silently falls back elsewhere)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -114,6 +116,31 @@ class MultiHeadAttention(nn.Module):
         def split(x):
             B, T, _ = x.shape
             return x.reshape(B, T, self.num_heads, d_head)
+
+        if (self.fused and not self.causal and d_head <= 128
+                and jax.default_backend() == "tpu"):
+            from daspeech_tpu.ops.fused_attention import NEG, fused_attention
+
+            B, Tk = key.shape[0], key.shape[1]
+            if key_padding_mask is not None:
+                all_masked = jnp.all(key_padding_mask, axis=-1)
+                kpm = key_padding_mask & ~all_masked[:, None]
+                bias = jnp.where(kpm, NEG, 0.0).astype(jnp.float32)
+            else:
+                bias = jnp.zeros((B, Tk), jnp.float32)
+            use_drop = train and self.dropout > 0.0
+            seed = (jax.random.bits(self.make_rng("dropout"), (),
+                                    jnp.uint32).astype(jnp.int32)
+                    if use_drop else jnp.int32(0))
+            to_bhtd = lambda x: jnp.swapaxes(split(x), 1, 2)
+            out = fused_attention(
+                to_bhtd(q), to_bhtd(k), to_bhtd(v), bias, seed,
+                1.0,                       # q is pre-scaled by d_head**-0.5
+                self.dropout if use_drop else 0.0, use_drop)
+            out = jnp.swapaxes(out, 1, 2).reshape(
+                query.shape[0], query.shape[1], self.embed_dim)
+            return nn.Dense(self.embed_dim, dtype=self.dtype,
+                            name="out_proj")(out)
 
         q, k, v = split(q), split(k), split(v)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -168,6 +195,7 @@ class TransformerDecoderLayer(nn.Module):
     activation: str = "gelu"
     normalize_before: bool = False
     causal: bool = False      # AR decoders (e.g. the UnitY-style MT pass)
+    fused_attention: bool = False   # Pallas fused kernel (TPU only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -187,7 +215,8 @@ class TransformerDecoderLayer(nn.Module):
             x = ln("self_attn_layer_norm")(x)
         x = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.attention_dropout,
-            causal=self.causal, dtype=self.dtype, name="self_attn",
+            causal=self.causal, fused=self.fused_attention,
+            dtype=self.dtype, name="self_attn",
         )(x, x, x, key_padding_mask=self_pad_mask, train=train)
         x = residual + drop(x)
         if not self.normalize_before:
@@ -199,6 +228,7 @@ class TransformerDecoderLayer(nn.Module):
                 x = ln("encoder_attn_layer_norm")(x)
             x = MultiHeadAttention(
                 self.embed_dim, self.num_heads, self.attention_dropout,
+                fused=self.fused_attention,
                 dtype=self.dtype, name="encoder_attn",
             )(x, enc_out, enc_out, key_padding_mask=enc_pad_mask, train=train)
             x = residual + drop(x)

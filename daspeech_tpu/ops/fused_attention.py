@@ -1,0 +1,207 @@
+"""Fused multi-head attention Pallas kernel with in-kernel PRNG dropout.
+
+The decoder's training-step profile (COVERAGE.md round-3 split) shows the
+MFU gap living in the attention epsilon ops: at the recipe shapes the
+[B, H, L, L] score/softmax/dropout tensors round-trip HBM several times per
+layer, and the recipes train with ``--attention-dropout 0.1``
+(``README.md:242``), so the probability masks alone are ~900 MB of PRNG
+traffic per step. This kernel fuses QK^T -> column-bias mask -> softmax ->
+dropout -> @V into ONE VMEM-resident program per (batch, head): scores,
+probabilities, and dropout bits never exist in HBM. The backward pass
+recomputes them (flash-attention style) with the SAME ``pltpu.prng_seed``,
+so dropout in forward and backward agree bit-for-bit with zero residuals
+beyond (q, k, v, bias).
+
+Non-streaming by design: DASpeech graphs cap L at 1024
+(``--max-target-positions``), so one (b, h) slice of scores is <=
+1024*1024*4 B = 4 MB — it FITS in VMEM, and the flash tiling machinery
+would buy nothing. Reference kernels replaced: none (the reference uses
+cuDNN attention via torch); this is the TPU equivalent of that fusion,
+with the dropout fused in as well.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                 *, sm_scale: float, keep_p: float, dropout: bool):
+    """One (b, h): out = dropout(softmax(q k^T * scale + bias)) v."""
+    q = q_ref[0, 0].astype(jnp.float32)        # [Tq, d]
+    k = k_ref[0, 0].astype(jnp.float32)        # [Tk, d]
+    v = v_ref[0, 0].astype(jnp.float32)        # [Tk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale      # [Tq, Tk]
+    s = s + bias_ref[pl.program_id(0)][None, :]     # column bias row
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if dropout:
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+        thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
+        keep = (bits <= thresh).astype(jnp.float32)
+        p = p * keep * (1.0 / keep_p)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref,
+                     *, sm_scale: float, keep_p: float, dropout: bool):
+    """Recompute-based backward for one (b, h)."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)      # [Tq, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = s + bias_ref[pl.program_id(0)][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)             # pre-dropout P
+
+    dpv = jax.lax.dot_general(                              # dO V^T [Tq, Tk]
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout:
+        # identical seed + identical call shape/order as the forward =>
+        # identical bits
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+        thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
+        keep = (bits <= thresh).astype(jnp.float32) * (1.0 / keep_p)
+        pd = p * keep                                       # dropped P
+        dp = dpv * keep
+    else:
+        pd = p
+        dp = dpv
+    dv_ref[0, 0] = jax.lax.dot_general(                     # P_d^T dO [Tk, d]
+        pd, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # [Tq, Tk]
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
+
+
+def _pad_qkv(q, k, v, bias):
+    """Pad head dim to 128 lanes and Tq/Tk to sublane/lane multiples."""
+    B, H, Tq, d = q.shape
+    Tk = k.shape[2]
+    dp = _round_up(d, 128)
+    Tqp = _round_up(Tq, 8)
+    Tkp = _round_up(Tk, 128)
+    if (dp, Tqp) != (d, Tq):
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tqp - Tq), (0, dp - d)))
+    if (dp, Tkp) != (d, Tk):
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Tkp - Tk), (0, dp - d)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Tkp - Tk), (0, dp - d)))
+    if Tkp != Tk:
+        bias = jnp.pad(bias, ((0, 0), (0, Tkp - Tk)),
+                       constant_values=NEG)
+    return q, k, v, bias, dp, Tqp, Tkp
+
+
+def _grid_call(kernel, outs, seed, q, k, v, bias, Tqp, Tkp, dp, extra=()):
+    B, H = q.shape[0], q.shape[1]
+    qspec = pl.BlockSpec((1, 1, Tqp, dp), lambda b, h, *_: (b, h, 0, 0))
+    kspec = pl.BlockSpec((1, 1, Tkp, dp), lambda b, h, *_: (b, h, 0, 0))
+    # bias rides whole (TPU block tiling forbids a 1-row block); each
+    # program picks its row by program_id
+    bspec = pl.BlockSpec((q.shape[0], Tkp), lambda b, h, *_: (0, 0))
+    in_specs = [qspec, kspec, kspec, bspec] + [qspec] * len(extra)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=in_specs,
+        out_specs=[qspec if o == "q" else kspec for o in outs],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, Tqp, dp) if o == "q"
+                             else (B, H, Tkp, dp), q.dtype)
+        for o in outs
+    ]
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+    )(seed, q, k, v, bias, *extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention(q, k, v, bias, seed,
+                    sm_scale: float, dropout_p: float, train: bool):
+    """out[b,h] = dropout(softmax(q k^T * sm_scale + bias[b])) @ v.
+
+    q [B, H, Tq, d] (d <= 128), k/v [B, H, Tk, d], bias [B, Tk] additive
+    column bias (0 valid / -1e30 masked), seed scalar int32 (ignored unless
+    ``train`` and ``dropout_p > 0``). Scores, probabilities, and dropout
+    bits stay in VMEM; backward recomputes them with the same seed.
+    """
+    out, _ = _fused_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train)
+    return out
+
+
+def _fused_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train):
+    B, H, Tq, d = q.shape
+    qp, kp, vp, biasp, dp, Tqp, Tkp = _pad_qkv(q, k, v, bias)
+    drop = bool(train) and dropout_p > 0.0
+    kern = functools.partial(
+        _attn_kernel, sm_scale=sm_scale,
+        keep_p=1.0 - dropout_p, dropout=drop)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    (out,) = _grid_call(kern, ["q"], seed, qp, kp, vp, biasp, Tqp, Tkp, dp)
+    return out[:, :, :Tq, :d], (q, k, v, bias, seed)
+
+
+def _fused_bwd(sm_scale, dropout_p, train, res, g):
+    q, k, v, bias, seed = res
+    B, H, Tq, d = q.shape
+    Tk = k.shape[2]
+    qp, kp, vp, biasp, dp, Tqp, Tkp = _pad_qkv(q, k, v, bias)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, Tqp - Tq), (0, dp - d))) \
+        if (Tqp, dp) != (Tq, d) else g
+    drop = bool(train) and dropout_p > 0.0
+    kern = functools.partial(
+        _attn_bwd_kernel, sm_scale=sm_scale,
+        keep_p=1.0 - dropout_p, dropout=drop)
+    dqp, dkp, dvp = _grid_call(
+        kern, ["q", "k", "k"], seed, qp, kp, vp, biasp, Tqp, Tkp, dp,
+        extra=(gp,))
+    return (dqp[:, :, :Tq, :d], dkp[:, :, :Tk, :d], dvp[:, :, :Tk, :d],
+            None, None)
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def mha_reference(q, k, v, bias, sm_scale: float):
+    """XLA oracle for the no-dropout path (tests)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    s = s + bias[:, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
