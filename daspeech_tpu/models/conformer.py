@@ -88,6 +88,8 @@ class RelPosMultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    fused: bool = False       # Pallas fused softmax+dropout+V (TPU only);
+    #                           the rel-pos bd term rides as a full bias
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,14 +118,39 @@ class RelPosMultiHeadAttention(nn.Module):
         q_u = q + bias_u.astype(self.dtype)[None, None]
         q_v = q + bias_v.astype(self.dtype)[None, None]
 
-        # content score: [B, H, T, T]
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
-                        preferred_element_type=jnp.float32)
         # position score before shift: [B, H, T, 2T-1]
         bd = jnp.einsum("bqhd,bphd->bhqp", q_v, p,
                         preferred_element_type=jnp.float32)
         bd = self._rel_shift(bd)            # [B, H, T, T]
 
+        from daspeech_tpu.ops import fused_attention as _fa
+
+        if self.fused and d <= 128 and _fa.available():
+            from daspeech_tpu.ops.fused_attention import (
+                NEG, fused_attention_full_bias)
+
+            # bd (the rel-pos score) becomes the additive full bias; the
+            # kernel computes ac in-VMEM and fuses mask+softmax+dropout+@V
+            bias4 = bd / math.sqrt(d)
+            if key_padding_mask is not None:
+                bias4 = jnp.where(
+                    key_padding_mask[:, None, None, :], NEG, bias4)
+            use_drop = train and self.dropout > 0.0
+            seed = (jax.random.bits(self.make_rng("dropout"), (),
+                                    jnp.uint32).astype(jnp.int32)
+                    if use_drop else jnp.int32(0))
+            out = fused_attention_full_bias(
+                jnp.swapaxes(q_u, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), bias4, seed,
+                1.0 / math.sqrt(d),
+                self.dropout if use_drop else 0.0, use_drop)
+            out = jnp.swapaxes(out, 1, 2).reshape(B, T, self.embed_dim)
+            return nn.Dense(self.embed_dim, dtype=self.dtype,
+                            name="linear_out")(out)
+
+        # content score: [B, H, T, T]
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+                        preferred_element_type=jnp.float32)
         scores = (ac + bd) / math.sqrt(d)
         if key_padding_mask is not None:
             scores = jnp.where(
@@ -252,6 +279,7 @@ class ConformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     depthwise_kernel_size: int = 31
     attn_dropout: float = 0.1
+    fused_attention: bool = False   # Pallas fused kernel (TPU only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -270,7 +298,7 @@ class ConformerEncoderLayer(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype, name="self_attn_layer_norm")(x)
         y = RelPosMultiHeadAttention(
             self.embed_dim, self.num_heads, self.attn_dropout,
-            dtype=self.dtype, name="self_attn",
+            fused=self.fused_attention, dtype=self.dtype, name="self_attn",
         )(y, pos_emb, key_padding_mask=pad_mask, train=train)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         x = residual + y
@@ -303,6 +331,7 @@ class ConformerEncoder(nn.Module):
     conv_kernel_sizes: Tuple[int, ...] = (5, 5)
     input_feat_dim: int = 80
     no_scale_embedding: bool = False
+    fused_attention: bool = False   # Pallas fused kernel (TPU only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -326,6 +355,7 @@ class ConformerEncoder(nn.Module):
             x = ConformerEncoderLayer(
                 self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
                 self.depthwise_kernel_size, self.attn_dropout,
+                fused_attention=self.fused_attention,
                 dtype=self.dtype, name=f"layers_{i}",
             )(x, pos_emb, pad_mask, train=train)
 

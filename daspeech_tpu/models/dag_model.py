@@ -284,7 +284,8 @@ class S2TConformerDAG(nn.Module):
             conv_channels=e.conv_channels,
             conv_kernel_sizes=e.conv_kernel_sizes,
             input_feat_dim=e.input_feat_dim,
-            no_scale_embedding=e.no_scale_embedding, dtype=self.dtype)
+            no_scale_embedding=e.no_scale_embedding,
+            fused_attention=e.fused_attention, dtype=self.dtype)
         self.enc_proj = (
             nn.Dense(d.embed_dim, dtype=self.dtype)
             if e.embed_dim != d.embed_dim else None)

@@ -117,8 +117,10 @@ class MultiHeadAttention(nn.Module):
             B, T, _ = x.shape
             return x.reshape(B, T, self.num_heads, d_head)
 
+        from daspeech_tpu.ops import fused_attention as _fa
+
         if (self.fused and not self.causal and d_head <= 128
-                and jax.default_backend() == "tpu"):
+                and _fa.available()):
             from daspeech_tpu.ops.fused_attention import NEG, fused_attention
 
             B, Tk = key.shape[0], key.shape[1]

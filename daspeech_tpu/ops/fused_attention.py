@@ -32,6 +32,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 
+# pallas_call is an opaque custom call to GSPMD: under a multi-device jit
+# the partitioner cannot shard it automatically (the production pattern is
+# shard_map around the kernel, e.g. MaxText's attention wrappers). The
+# module gates itself to single-device runs; flip this after wrapping the
+# step in shard_map on a pod.
+ALLOW_MULTI_DEVICE = False
+
+
+def available() -> bool:
+    """Fused kernels are usable: TPU backend and (single device or the
+    shard_map override)."""
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and (jax.device_count() == 1 or ALLOW_MULTI_DEVICE))
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -195,6 +211,163 @@ def _fused_bwd(sm_scale, dropout_p, train, res, g):
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _attn_kernel_fb(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                    *, sm_scale: float, keep_p: float, dropout: bool):
+    """Full-bias variant: bias [1, 1, Tq, Tk] per (b, h) — carries the
+    rel-pos scores of the Conformer encoder (``conformer.py`` ``bd`` term)
+    plus the pad mask."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = s + bias_ref[0, 0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if dropout:
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+        thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
+        p = p * (bits <= thresh).astype(jnp.float32) * (1.0 / keep_p)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_fb(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                        dq_ref, dk_ref, dv_ref, ds_ref,
+                        *, sm_scale: float, keep_p: float, dropout: bool):
+    """Full-bias backward; additionally emits dS (= the bias cotangent)."""
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    s = s + bias_ref[0, 0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    dpv = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if dropout:
+        pltpu.prng_seed(
+            seed_ref[0],
+            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+        thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
+        keep = (bits <= thresh).astype(jnp.float32) * (1.0 / keep_p)
+        pd = p * keep
+        dp = dpv * keep
+    else:
+        pd = p
+        dp = dpv
+    dv_ref[0, 0] = jax.lax.dot_general(
+        pd, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_ref[0, 0] = ds.astype(ds_ref.dtype)
+    dq_ref[0, 0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
+
+
+def _pad_bias4(bias, Tqp, Tkp):
+    B, H, Tq, Tk = bias.shape
+    if (Tqp, Tkp) != (Tq, Tk):
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Tqp - Tq), (0, Tkp - Tk)),
+                       constant_values=NEG)
+    return bias
+
+
+def _grid_call_fb(kernel, outs, seed, q, k, v, bias4, Tqp, Tkp, dp,
+                  extra=()):
+    B, H = q.shape[0], q.shape[1]
+    qspec = pl.BlockSpec((1, 1, Tqp, dp), lambda b, h, *_: (b, h, 0, 0))
+    kspec = pl.BlockSpec((1, 1, Tkp, dp), lambda b, h, *_: (b, h, 0, 0))
+    sspec = pl.BlockSpec((1, 1, Tqp, Tkp), lambda b, h, *_: (b, h, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H),
+        in_specs=[qspec, kspec, kspec, sspec] + [qspec] * len(extra),
+        out_specs=[{"q": qspec, "k": kspec, "s": sspec}[o] for o in outs],
+    )
+    shapes = {"q": (B, H, Tqp, dp), "k": (B, H, Tkp, dp),
+              "s": (B, H, Tqp, Tkp)}
+    out_shape = [jax.ShapeDtypeStruct(
+        shapes[o], jnp.float32 if o == "s" else q.dtype) for o in outs]
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+    )(seed, q, k, v, bias4, *extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_full_bias(q, k, v, bias4, seed,
+                              sm_scale: float, dropout_p: float,
+                              train: bool):
+    """Like :func:`fused_attention` but with a full additive score bias
+    [B, H, Tq, Tk] that RECEIVES a gradient (the Conformer rel-pos path:
+    bias = bd/sqrt(d) + pad-mask)."""
+    out, _ = _fused_fb_fwd(q, k, v, bias4, seed, sm_scale, dropout_p, train)
+    return out
+
+
+def _fused_fb_fwd(q, k, v, bias4, seed, sm_scale, dropout_p, train):
+    B, H, Tq, d = q.shape
+    zero_bias = jnp.zeros((B, k.shape[2]), jnp.float32)
+    qp, kp, vp, _, dp, Tqp, Tkp = _pad_qkv(q, k, v, zero_bias)
+    biasp = _pad_bias4(bias4, Tqp, Tkp)
+    drop = bool(train) and dropout_p > 0.0
+    kern = functools.partial(
+        _attn_kernel_fb, sm_scale=sm_scale,
+        keep_p=1.0 - dropout_p, dropout=drop)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    (out,) = _grid_call_fb(kern, ["q"], seed, qp, kp, vp, biasp,
+                           Tqp, Tkp, dp)
+    return out[:, :, :Tq, :d], (q, k, v, bias4, seed)
+
+
+def _fused_fb_bwd(sm_scale, dropout_p, train, res, g):
+    q, k, v, bias4, seed = res
+    B, H, Tq, d = q.shape
+    Tk = k.shape[2]
+    zero_bias = jnp.zeros((B, Tk), jnp.float32)
+    qp, kp, vp, _, dp, Tqp, Tkp = _pad_qkv(q, k, v, zero_bias)
+    biasp = _pad_bias4(bias4, Tqp, Tkp)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, Tqp - Tq), (0, dp - d))) \
+        if (Tqp, dp) != (Tq, d) else g
+    drop = bool(train) and dropout_p > 0.0
+    kern = functools.partial(
+        _attn_bwd_kernel_fb, sm_scale=sm_scale,
+        keep_p=1.0 - dropout_p, dropout=drop)
+    dqp, dkp, dvp, dsp = _grid_call_fb(
+        kern, ["q", "k", "k", "s"], seed, qp, kp, vp, biasp, Tqp, Tkp, dp,
+        extra=(gp,))
+    return (dqp[:, :, :Tq, :d], dkp[:, :, :Tk, :d], dvp[:, :, :Tk, :d],
+            dsp[:, :, :Tq, :Tk].astype(bias4.dtype), None)
+
+
+fused_attention_full_bias.defvjp(_fused_fb_fwd, _fused_fb_bwd)
+
+
+def mha_reference_full_bias(q, k, v, bias4, sm_scale: float):
+    """XLA oracle for the full-bias path (tests)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale + bias4
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
 
 
 def mha_reference(q, k, v, bias, sm_scale: float):

@@ -113,3 +113,53 @@ class TestFusedAttention:
         o1 = m1.apply(p, x, x, x, key_padding_mask=kpm)
         o2 = m2.apply(p, x, x, x, key_padding_mask=kpm)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestFusedAttentionFullBias:
+    def test_forward_and_grads_match_oracle(self):
+        rng = np.random.default_rng(9)
+        B, H, Tq, Tk, d = 2, 2, 9, 12, 16
+        q = jnp.asarray(rng.normal(size=(B, H, Tq, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, H, Tk, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, H, Tk, d)).astype(np.float32))
+        bias4 = jnp.asarray(
+            rng.normal(size=(B, H, Tq, Tk)).astype(np.float32))
+        # mask a few key columns like a pad mask would
+        bias4 = bias4.at[1, :, :, -2:].set(fa.NEG)
+        sc = 1.0 / np.sqrt(d)
+        out = fa.fused_attention_full_bias(q, k, v, bias4, 0, sc, 0.0,
+                                           False)
+        ref = fa.mha_reference_full_bias(q, k, v, bias4, sc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(f):
+            return jax.grad(
+                lambda q, k, v, b: jnp.sum(f(q, k, v, b) ** 2),
+                argnums=(0, 1, 2, 3))
+
+        g_ref = loss(lambda q, k, v, b: fa.mha_reference_full_bias(
+            q, k, v, b, sc))(q, k, v, bias4)
+        g_fus = loss(lambda q, k, v, b: fa.fused_attention_full_bias(
+            q, k, v, b, 0, sc, 0.0, False))(q, k, v, bias4)
+        for a, b in zip(g_ref, g_fus):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_relpos_module_fused_falls_back_off_tpu(self):
+        """RelPosMultiHeadAttention(fused=True) on the CPU backend equals
+        the XLA path bit for bit."""
+        from daspeech_tpu.models.conformer import (
+            RelPosMultiHeadAttention, rel_positional_encoding)
+
+        rng = np.random.default_rng(4)
+        B, T, C = 2, 7, 16
+        x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+        pos = rel_positional_encoding(T, C)
+        kpm = jnp.zeros((B, T), bool).at[1, -2:].set(True)
+        m1 = RelPosMultiHeadAttention(C, 2, 0.0, fused=True)
+        m2 = RelPosMultiHeadAttention(C, 2, 0.0, fused=False)
+        p = m1.init(jax.random.key(0), x, pos, key_padding_mask=kpm)
+        o1 = m1.apply(p, x, pos, key_padding_mask=kpm)
+        o2 = m2.apply(p, x, pos, key_padding_mask=kpm)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
