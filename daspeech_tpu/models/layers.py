@@ -121,9 +121,12 @@ class MultiHeadAttention(nn.Module):
 
         if (self.fused and not self.causal and d_head <= 128
                 and _fa.available()):
-            from daspeech_tpu.ops.fused_attention import NEG, fused_attention
+            from daspeech_tpu.ops.fused_attention import (
+                NEG, fused_attention, fused_attention_packed,
+                packed_fits_vmem)
 
             B, Tk = key.shape[0], key.shape[1]
+            Tq = query.shape[1]
             if key_padding_mask is not None:
                 all_masked = jnp.all(key_padding_mask, axis=-1)
                 kpm = key_padding_mask & ~all_masked[:, None]
@@ -134,13 +137,23 @@ class MultiHeadAttention(nn.Module):
             seed = (jax.random.bits(self.make_rng("dropout"), (),
                                     jnp.uint32).astype(jnp.int32)
                     if use_drop else jnp.int32(0))
-            to_bhtd = lambda x: jnp.swapaxes(split(x), 1, 2)
-            out = fused_attention(
-                to_bhtd(q), to_bhtd(k), to_bhtd(v), bias, seed,
-                1.0,                       # q is pre-scaled by d_head**-0.5
-                self.dropout if use_drop else 0.0, use_drop)
-            out = jnp.swapaxes(out, 1, 2).reshape(
-                query.shape[0], query.shape[1], self.embed_dim)
+            if packed_fits_vmem(Tq, Tk, self.embed_dim, self.num_heads):
+                # packed [B, T, H*d] layout: native head dim (no 64->128
+                # lane padding), no transposes — the Dense outputs feed
+                # the kernel directly. ~40% faster at the decoder shape.
+                out = fused_attention_packed(
+                    q, k, v, bias, seed,
+                    1.0,               # q is pre-scaled by d_head**-0.5
+                    self.dropout if use_drop else 0.0, use_drop,
+                    self.num_heads)
+            else:
+                to_bhtd = lambda x: jnp.swapaxes(split(x), 1, 2)
+                out = fused_attention(
+                    to_bhtd(q), to_bhtd(k), to_bhtd(v), bias, seed,
+                    1.0,
+                    self.dropout if use_drop else 0.0, use_drop)
+                out = jnp.swapaxes(out, 1, 2).reshape(
+                    query.shape[0], query.shape[1], self.embed_dim)
             return nn.Dense(self.embed_dim, dtype=self.dtype,
                             name="out_proj")(out)
 

@@ -213,6 +213,197 @@ def _fused_bwd(sm_scale, dropout_p, train, res, g):
 fused_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _attn_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                        *, sm_scale: float, keep_p: float, dropout: bool,
+                        num_heads: int, d: int):
+    """One batch row, ALL heads: packed [T, H*d] in/out.
+
+    Measured against the per-(b, h) grid at the decoder shape (B=80, H=8,
+    L=240, d=64): 0.41 vs 0.67 ms forward — the packed layout reads q/k/v
+    at their native head dim (no 64->128 lane padding, so half the HBM
+    traffic) and needs no [B, T, H, d] -> [B, H, T, d] transposes outside
+    (the Dense outputs feed the kernel directly).
+    """
+    b = pl.program_id(0)
+    if dropout:
+        # one seed per batch row; heads draw sequentially in loop order,
+        # so the backward regenerates the identical stream
+        pltpu.prng_seed(seed_ref[0], b)
+    bias_row = bias_ref[b][None, :]
+    for h in range(num_heads):
+        q = q_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        k = k_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        v = v_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s + bias_row
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if dropout:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
+            p = p * (bits <= thresh).astype(jnp.float32) * (1.0 / keep_p)
+        o_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref,
+                            *, sm_scale: float, keep_p: float, dropout: bool,
+                            num_heads: int, d: int):
+    """Recompute-based packed backward; bit-identical dropout stream."""
+    b = pl.program_id(0)
+    if dropout:
+        pltpu.prng_seed(seed_ref[0], b)
+    bias_row = bias_ref[b][None, :]
+    for h in range(num_heads):
+        q = q_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        k = k_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        v = v_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        do = do_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+        s = s + bias_row
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        dpv = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if dropout:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
+            thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
+            keep = (bits <= thresh).astype(jnp.float32) * (1.0 / keep_p)
+            pd = p * keep
+            dp = dpv * keep
+        else:
+            pd = p
+            dp = dpv
+        dv_ref[0, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+            pd, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[0, :, h * d:(h + 1) * d] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale).astype(
+                dq_ref.dtype)
+        dk_ref[0, :, h * d:(h + 1) * d] = (jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale).astype(
+                dk_ref.dtype)
+
+
+def _pad_packed(q, k, v, bias):
+    """Sublane-align Tq/Tk to multiples of 8 (no head-dim padding)."""
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    Tqp = _round_up(Tq, 8)
+    Tkp = _round_up(Tk, 8)
+    if Tqp != Tq:
+        q = jnp.pad(q, ((0, 0), (0, Tqp - Tq), (0, 0)))
+    if Tkp != Tk:
+        k = jnp.pad(k, ((0, 0), (0, Tkp - Tk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Tkp - Tk), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, Tkp - Tk)), constant_values=NEG)
+    return q, k, v, bias, Tqp, Tkp
+
+
+def _grid_call_packed(kernel, n_q_outs, seed, q, k, v, bias, extra=()):
+    B, Tqp, C = q.shape
+    Tkp = k.shape[1]
+    qspec = pl.BlockSpec((1, Tqp, C), lambda b, *_: (b, 0, 0))
+    kspec = pl.BlockSpec((1, Tkp, C), lambda b, *_: (b, 0, 0))
+    bspec = pl.BlockSpec((B, Tkp), lambda b, *_: (0, 0))
+    specs = {"q": qspec, "k": kspec}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[qspec, kspec, kspec, bspec] + [qspec] * len(extra),
+        out_specs=[specs[o] for o in n_q_outs],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Tqp, C) if o == "q" else (B, Tkp, C),
+                             q.dtype)
+        for o in n_q_outs
+    ]
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+    )(seed, q, k, v, bias, *extra)
+
+
+def packed_fits_vmem(Tq: int, Tk: int, C: int, num_heads: int) -> bool:
+    """Conservative VMEM estimate for one packed program (bwd is the worst
+    case: q/k/v/do/dq/dk/dv tiles + three [Tq, Tk] f32 temps)."""
+    tiles = 7 * max(Tq, Tk) * C * 2
+    temps = 3 * Tq * Tk * 4
+    return tiles + temps < 10 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_attention_packed(q, k, v, bias, seed,
+                           sm_scale: float, dropout_p: float, train: bool,
+                           num_heads: int):
+    """Packed-layout fused MHA: q [B, Tq, H*d], k/v [B, Tk, H*d],
+    bias [B, Tk] additive column bias -> out [B, Tq, H*d].
+
+    Same math as :func:`fused_attention` but one grid step per batch row
+    with an in-kernel head loop at the NATIVE head dim — no 64->128 lane
+    padding, no [B, H, T, d] transposes at the call site. Use when
+    :func:`packed_fits_vmem`; fall back to :func:`fused_attention` above.
+    """
+    out, _ = _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train,
+                         num_heads)
+    return out
+
+
+def _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train, num_heads):
+    B, Tq, C = q.shape
+    d = C // num_heads
+    qp, kp, vp, biasp, Tqp, Tkp = _pad_packed(q, k, v, bias)
+    drop = bool(train) and dropout_p > 0.0
+    kern = functools.partial(
+        _attn_kernel_packed, sm_scale=sm_scale, keep_p=1.0 - dropout_p,
+        dropout=drop, num_heads=num_heads, d=d)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    (out,) = _grid_call_packed(kern, ["q"], seed, qp, kp, vp, biasp)
+    return out[:, :Tq], (q, k, v, bias, seed)
+
+
+def _packed_bwd(sm_scale, dropout_p, train, num_heads, res, g):
+    q, k, v, bias, seed = res
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    d = C // num_heads
+    qp, kp, vp, biasp, Tqp, Tkp = _pad_packed(q, k, v, bias)
+    gp = jnp.pad(g, ((0, 0), (0, Tqp - Tq), (0, 0))) if Tqp != Tq else g
+    drop = bool(train) and dropout_p > 0.0
+    kern = functools.partial(
+        _attn_bwd_kernel_packed, sm_scale=sm_scale, keep_p=1.0 - dropout_p,
+        dropout=drop, num_heads=num_heads, d=d)
+    dqp, dkp, dvp = _grid_call_packed(
+        kern, ["q", "k", "k"], seed, qp, kp, vp, biasp, extra=(gp,))
+    return dqp[:, :Tq], dkp[:, :Tk], dvp[:, :Tk], None, None
+
+
+fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+def mha_reference_packed(q, k, v, bias, sm_scale: float, num_heads: int):
+    """XLA oracle for the packed layout (tests)."""
+    B, Tq, C = q.shape
+    Tk = k.shape[1]
+    d = C // num_heads
+    qh = jnp.swapaxes(q.reshape(B, Tq, num_heads, d), 1, 2)
+    kh = jnp.swapaxes(k.reshape(B, Tk, num_heads, d), 1, 2)
+    vh = jnp.swapaxes(v.reshape(B, Tk, num_heads, d), 1, 2)
+    out = mha_reference(qh, kh, vh, bias, sm_scale)
+    return jnp.swapaxes(out, 1, 2).reshape(B, Tq, C)
+
+
 def _attn_kernel_fb(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
                     *, sm_scale: float, keep_p: float, dropout: bool):
     """Full-bias variant: bias [1, 1, Tq, Tk] per (b, h) — carries the

@@ -115,6 +115,69 @@ class TestFusedAttention:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
 
 
+class TestFusedAttentionPacked:
+    """Packed [B, T, H*d] layout (one grid step per batch row, in-kernel
+    head loop at the native head dim)."""
+
+    @pytest.mark.parametrize("shape", [(2, 4, 10, 13, 16),
+                                       (1, 8, 8, 240, 64),
+                                       (3, 2, 9, 40, 32)])
+    def test_forward_matches_oracle(self, shape):
+        B, H, Tq, Tk, d = shape
+        rng = np.random.default_rng(sum(shape))
+        q = jnp.asarray(rng.normal(size=(B, Tq, H * d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, Tk, H * d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, Tk, H * d)).astype(np.float32))
+        valid = np.ones((B, Tk), bool)
+        valid[-1, -3:] = False
+        bias = jnp.asarray(np.where(valid, 0.0, fa.NEG).astype(np.float32))
+        sc = 1.0 / np.sqrt(d)
+        out = fa.fused_attention_packed(q, k, v, bias, 0, sc, 0.0, False, H)
+        ref = fa.mha_reference_packed(q, k, v, bias, sc, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grads_match_oracle(self):
+        B, H, Tq, Tk, d = 2, 3, 10, 13, 16
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.normal(size=(B, Tq, H * d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, Tk, H * d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, Tk, H * d)).astype(np.float32))
+        bias = jnp.zeros((B, Tk), jnp.float32).at[1, -4:].set(fa.NEG)
+        sc = 1.0 / np.sqrt(d)
+
+        def loss(f):
+            return jax.grad(lambda q, k, v: jnp.sum(f(q, k, v) ** 2),
+                            argnums=(0, 1, 2))
+
+        g_ref = loss(lambda q, k, v: fa.mha_reference_packed(
+            q, k, v, bias, sc, H))(q, k, v)
+        g_fus = loss(lambda q, k, v: fa.fused_attention_packed(
+            q, k, v, bias, 0, sc, 0.0, False, H))(q, k, v)
+        for a, b in zip(g_ref, g_fus):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_fits_vmem_gate(self):
+        assert fa.packed_fits_vmem(240, 240, 512, 8)
+        assert not fa.packed_fits_vmem(4096, 4096, 512, 8)
+
+    def test_mha_module_packed_falls_back_off_tpu(self):
+        """MultiHeadAttention routes through the packed kernel on TPU when
+        the shape fits; on CPU it must fall back bit-for-bit."""
+        from daspeech_tpu.models.layers import MultiHeadAttention
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+        kpm = jnp.zeros((2, 6), bool).at[0, -1:].set(True)
+        m1 = MultiHeadAttention(16, 2, 0.0, fused=True)
+        m2 = MultiHeadAttention(16, 2, 0.0, fused=False)
+        p = m1.init(jax.random.key(0), x, x, x, key_padding_mask=kpm)
+        o1 = m1.apply(p, x, x, x, key_padding_mask=kpm)
+        o2 = m2.apply(p, x, x, x, key_padding_mask=kpm)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+
+
 class TestFusedAttentionFullBias:
     def test_forward_and_grads_match_oracle(self):
         rng = np.random.default_rng(9)
