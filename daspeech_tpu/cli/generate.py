@@ -92,6 +92,14 @@ def parse_args(argv=None):
                    help="NAT length beam: decode N graph sizes around "
                         "lambda*src_len, keep the best mean-logprob "
                         "candidate (s2t_nat_generator.py:59-76)")
+    p.add_argument("--iter-decode-max-iter", type=int, default=0,
+                   help="iterative refinement: feed decoded tokens back "
+                        "as the next graph input for up to N extra "
+                        "passes (s2t_nat_generator.py:120-215); every "
+                        "DASpeech recipe decodes single-pass (0)")
+    p.add_argument("--iter-decode-force-max-iter", action="store_true",
+                   help="disable the adaptive output==input early "
+                        "termination and always run max-iter passes")
     p.add_argument("--src-upsample-scale", type=float, default=0.5)
     p.add_argument("--max-tokens", type=int, default=40000)
     p.add_argument("--max-mel-len", type=int, default=1024)
@@ -505,7 +513,9 @@ def _generate_with(args, task, model, params, it, is_s2s):
     decode_cfg = DecodeConfig(
         strategy=args.decode_strategy, beta=args.decode_beta,
         viterbibeta=args.decode_viterbibeta,
-        length_beam=args.length_beam)
+        length_beam=args.length_beam,
+        iter_decode_max_iter=args.iter_decode_max_iter,
+        iter_decode_force_max_iter=args.iter_decode_force_max_iter)
     if is_s2s:
         gen = task.build_generator(model, decode_cfg,
                                    max_mel_len=args.max_mel_len,

@@ -86,6 +86,13 @@ class DecodeConfig:
     # graph sizes around lambda*src_len and keep the best-scoring candidate
     # (``s2t_nat_generator.py:59-76,212-230``). Recipes use 1.
     length_beam: int = 1
+    # Iterative refinement (``s2t_nat_generator.py:120-215``): feed the
+    # decoded tokens back as the next graph input for up to `max_iter`
+    # extra passes; unless `force_max_iter`, a sample terminates as soon
+    # as its output equals its input (the reference's ``is_a_loop``
+    # adaptive check). Every DASpeech recipe decodes single-pass (0).
+    iter_decode_max_iter: int = 0
+    iter_decode_force_max_iter: bool = False
 
 
 @dataclass(frozen=True)

@@ -1,12 +1,14 @@
 """Generators: the inference engines returning finalized hypotheses.
 
 Rebuild of ``DASpeech/generator/s2t_nat_generator.py`` and
-``s2s_nat_generator.py``. The DAG decodes in a single pass
-(iter_decode_max_iter = 0 in every recipe), so the reference's iterative
-refinement loop degenerates to one ``forward_decoder`` — here one jitted
-function per (strategy, bucket shape). Mel gcmvn-denormalization and the
-vocoder run on the final features exactly like
-``s2s_nat_generator.py:242-285``.
+``s2s_nat_generator.py``. The default is one ``forward_decoder`` pass per
+(strategy, bucket shape) jit — every DASpeech recipe decodes single-pass —
+with the reference's iterative refinement loop
+(``iter_decode_max_iter`` + adaptive ``is_a_loop`` termination) available
+on top: fixed-shape passes reuse the same compiled program and terminated
+rows keep their accepted result by masking rather than the reference's
+shrink-the-batch gathers. Mel gcmvn-denormalization and the vocoder run
+on the final features exactly like ``s2s_nat_generator.py:242-285``.
 """
 
 from __future__ import annotations
@@ -103,7 +105,7 @@ def dag_forward_decode(model, params, fbank, src_lengths, prev, vocab,
 
 
 class S2TNATGenerator:
-    """Single-pass DAG decoding to target tokens
+    """DAG decoding to target tokens, optionally with iterative refinement
     (``S2TNATGenerator``, ``s2t_nat_generator.py:50-230``)."""
 
     def __init__(self, model, vocab, decode_cfg: DecodeConfig):
@@ -122,12 +124,57 @@ class S2TNATGenerator:
 
         return run
 
+    def _refine(self, params, fbank, src_lengths, prev):
+        """Iterative refinement (``s2t_nat_generator.py:120-215``): re-run
+        the decoder with its own (padded) output as the next graph input,
+        up to ``iter_decode_max_iter`` extra passes. Per-sample adaptive
+        termination mirrors the reference's ``is_a_loop`` — a sample is
+        done once its output equals its input — realized with fixed shapes
+        (terminated rows keep their accepted result via ``np.where``
+        instead of the reference's shrink-the-batch gather, so every pass
+        reuses ONE compiled program). Returns (DecodeResult as numpy,
+        accepted_input) where decode(accepted_input) reproduces the
+        accepted output (the decoder is deterministic in eval mode).
+        """
+        run = self._jitted["decode"]
+        res, _ = run(params, fbank, src_lengths, prev)
+        max_iter = int(self.cfg.iter_decode_max_iter)
+        adaptive = not self.cfg.iter_decode_force_max_iter
+        accepted = [np.asarray(x) for x in res]
+        accepted_input = np.asarray(prev)
+        B = accepted_input.shape[0]
+        terminated = np.zeros((B,), bool)
+        for _ in range(max_iter):
+            cur_input = accepted[0]            # previous pass's tokens
+            res2, _ = run(params, fbank, src_lengths,
+                          jnp.asarray(cur_input))
+            new = [np.asarray(x) for x in res2]
+            if adaptive:
+                done_now = np.all(new[0] == cur_input, axis=1)
+            else:
+                done_now = np.zeros((B,), bool)
+            live = ~terminated
+            for i in range(len(accepted)):
+                m = live if accepted[i].ndim == 1 else live[:, None]
+                accepted[i] = np.where(m, new[i], accepted[i])
+            accepted_input = np.where(live[:, None], cur_input,
+                                      accepted_input)
+            terminated |= done_now
+            if adaptive and terminated.all():
+                break
+        return DecodeResult(*accepted), accepted_input
+
     def generate(self, params, batch: Dict[str, np.ndarray]) -> List[Dict]:
         if "decode" not in self._jitted:
             self._jitted["decode"] = self._decode_fn()
-        res, _ = self._jitted["decode"](
-            params, batch["fbank"], batch["src_lengths"],
-            batch["prev_output_tokens"])
+        if self.cfg.iter_decode_max_iter > 0:
+            res, _ = self._refine(
+                params, batch["fbank"], batch["src_lengths"],
+                batch["prev_output_tokens"])
+        else:
+            res, _ = self._jitted["decode"](
+                params, batch["fbank"], batch["src_lengths"],
+                batch["prev_output_tokens"])
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         out = []
@@ -193,9 +240,21 @@ class S2SNATGenerator(S2TNATGenerator):
                  generate_waveform: bool = True) -> List[Dict]:
         if "s2s" not in self._jitted:
             self._jitted["s2s"] = self._s2s_fn()
+        prev = batch["prev_output_tokens"]
+        if self.cfg.iter_decode_max_iter > 0:
+            # refine on tokens first (decode-only jit), then synthesize
+            # from each sample's accepted graph input: the decoder is
+            # deterministic in eval mode, so one s2s pass on
+            # accepted_input reproduces the accepted tokens AND yields
+            # their path features for the TTS pass
+            # (``s2s_nat_generator.py:130-215`` refines before synthesis).
+            if "decode" not in self._jitted:
+                self._jitted["decode"] = self._decode_fn()
+            _, prev = self._refine(
+                params, batch["fbank"], batch["src_lengths"], prev)
+            prev = jnp.asarray(prev)
         res, mel, mel_lens, wav = self._jitted["s2s"](
-            params, batch["fbank"], batch["src_lengths"],
-            batch["prev_output_tokens"])
+            params, batch["fbank"], batch["src_lengths"], prev)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         mel = np.asarray(mel)

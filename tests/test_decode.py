@@ -277,4 +277,115 @@ class TestLengthBeam:
             assert (toks[b, :lens[b]] != cfg.vocab.pad).all()
         assert np.isfinite(s1).all()
 
+class TestIterativeRefinement:
+    """``iter_decode_max_iter`` refinement loop
+    (``s2t_nat_generator.py:120-215`` + fairseq's ``is_a_loop``)."""
+
+    def test_adaptive_termination_keeps_first_fixed_point(self):
+        g0 = (9, 9, 9, 0)
+        t1a, t1b = (5, 6, 0, 0), (7, 8, 3, 0)
+        t2b = (7, 3, 0, 0)
+        # scripted decoder keyed on (sample, input): sample 0 reaches its
+        # fixed point at pass 1, sample 1 at pass 2
+        outputs = {(0, g0): t1a, (0, t1a): t1a,
+                   (1, g0): t1b, (1, t1b): t2b, (1, t2b): t2b}
+
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.dag_decode import DecodeResult
+        from daspeech_tpu.decode.generator import S2TNATGenerator
+
+        class Vocab:
+            pad = 0
+
+        gen = S2TNATGenerator(
+            model=None, vocab=Vocab(),
+            decode_cfg=DecodeConfig(iter_decode_max_iter=5))
+        calls = []
+
+        def fake_run(params, fbank, src_lengths, prev):
+            prev = np.asarray(prev)
+            calls.append(prev.copy())
+            toks = np.stack([
+                np.asarray(outputs[(b, tuple(row))], np.int32)
+                for b, row in enumerate(prev)])
+            lens = (toks != 0).sum(axis=1).astype(np.int32)
+            return DecodeResult(
+                jnp.asarray(toks), jnp.asarray(lens),
+                jnp.asarray(np.zeros_like(toks)),
+                jnp.asarray(lens - 1)), None
+
+        gen._jitted["decode"] = fake_run
+        prev = np.asarray([g0, g0], np.int32)
+        res, accepted_input = gen._refine(None, None, None, prev)
+        toks = np.asarray(res.tokens)
+        # sample 0 froze at its pass-1 fixed point; sample 1 at pass 2
+        np.testing.assert_array_equal(toks[0], t1a)
+        np.testing.assert_array_equal(toks[1], t2b)
+        # decode(accepted_input) must reproduce the accepted output
+        np.testing.assert_array_equal(tuple(accepted_input[0]), t1a)
+        np.testing.assert_array_equal(tuple(accepted_input[1]), t2b)
+        # early exit: pass0 + 2 refinement passes, not max_iter=5
+        assert len(calls) == 3
+
+    def test_force_max_iter_runs_all_passes(self):
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.dag_decode import DecodeResult
+        from daspeech_tpu.decode.generator import S2TNATGenerator
+
+        class Vocab:
+            pad = 0
+
+        gen = S2TNATGenerator(
+            model=None, vocab=Vocab(),
+            decode_cfg=DecodeConfig(iter_decode_max_iter=3,
+                                    iter_decode_force_max_iter=True))
+        n = [0]
+
+        def fake_run(params, fbank, src_lengths, prev):
+            n[0] += 1
+            toks = np.full((1, 4), n[0], np.int32)
+            lens = np.full((1,), 4, np.int32)
+            return DecodeResult(
+                jnp.asarray(toks), jnp.asarray(lens),
+                jnp.asarray(np.zeros_like(toks)),
+                jnp.asarray(lens - 1)), None
+
+        gen._jitted["decode"] = fake_run
+        res, _ = gen._refine(None, None, None,
+                             np.zeros((1, 4), np.int32))
+        assert n[0] == 4                      # 1 + max_iter passes
+        np.testing.assert_array_equal(np.asarray(res.tokens)[0],
+                                      [4, 4, 4, 4])
+
+    def test_real_model_refinement_smoke(self):
+        from test_models import tiny_dag_cfg
+        from testutils import fast_init
+
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.generator import S2TNATGenerator
+        from daspeech_tpu.models import (
+            S2TConformerDAG, graph_lengths, initialize_output_tokens)
+
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(5)
+        B, S, L = 2, 25, 16
+        fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))
+        src_lengths = jnp.asarray([25, 19], jnp.int32)
+        prev = initialize_output_tokens(
+            graph_lengths(src_lengths, 0.5, 64), L, cfg.vocab)
+        params = fast_init(model, jax.random.key(0), fbank, src_lengths,
+                           prev)
+        gen = S2TNATGenerator(
+            model, cfg.vocab,
+            DecodeConfig(strategy="lookahead", iter_decode_max_iter=2))
+        hypos = gen.generate(params, {
+            "fbank": fbank, "src_lengths": src_lengths,
+            "prev_output_tokens": prev})
+        assert len(hypos) == B
+        for h in hypos:
+            assert h["tokens"].ndim == 1 and h["tokens"].size >= 1
+            assert (h["tokens"] != cfg.vocab.pad).all()
+
+
 pytestmark = pytest.mark.slow
