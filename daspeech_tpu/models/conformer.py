@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from daspeech_tpu.models.layers import ACTIVATIONS, Dtype
+from daspeech_tpu.models.layers import ACTIVATIONS, Dropout, Dtype
 
 
 class Conv1dSubsampler(nn.Module):
@@ -156,7 +156,7 @@ class RelPosMultiHeadAttention(nn.Module):
             scores = jnp.where(
                 key_padding_mask[:, None, None, :], -jnp.inf, scores)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        probs = Dropout(self.dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, self.embed_dim)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_out")(out)
 
@@ -250,7 +250,7 @@ class ConvolutionModule(nn.Module):
         x = ACTIVATIONS[self.activation](x)
         x = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
                      name="pointwise_conv2")(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return Dropout(self.dropout, deterministic=not train)(x)
 
 
 class FeedForwardModule(nn.Module):
@@ -265,9 +265,9 @@ class FeedForwardModule(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w_1")(x)
         x = ACTIVATIONS[self.activation](x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="w_2")(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return Dropout(self.dropout, deterministic=not train)(x)
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -300,7 +300,7 @@ class ConformerEncoderLayer(nn.Module):
             self.embed_dim, self.num_heads, self.attn_dropout,
             fused=self.fused_attention, dtype=self.dtype, name="self_attn",
         )(y, pos_emb, key_padding_mask=pad_mask, train=train)
-        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = Dropout(self.dropout, deterministic=not train)(y)
         x = residual + y
 
         x = x + ConvolutionModule(
@@ -349,7 +349,7 @@ class ConformerEncoder(nn.Module):
         x = x * scale
         pos_emb = rel_positional_encoding(T, self.embed_dim, dtype=self.dtype)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = Dropout(self.dropout, deterministic=not train)(x)
 
         for i in range(self.num_layers):
             x = ConformerEncoderLayer(

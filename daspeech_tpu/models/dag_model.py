@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from daspeech_tpu.core.config import DAGModelConfig
 from daspeech_tpu.models.conformer import ConformerEncoder
 from daspeech_tpu.models.layers import (
+    Dropout,
     Dtype,
     LearnedPositionalEmbedding,
     SinusoidalPositionalEmbedding,
@@ -76,7 +77,7 @@ class GlatLinkDecoder(nn.Module):
                 dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
-        self.dropout_layer = nn.Dropout(self.dropout)
+        self.dropout_layer = Dropout(self.dropout)
         if not self.share_input_output_embed:
             self.output_projection = nn.Dense(
                 self.vocab_size, use_bias=False, dtype=self.dtype)

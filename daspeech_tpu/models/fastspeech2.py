@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from daspeech_tpu.core.config import FastSpeech2Config
 from daspeech_tpu.models.layers import (
+    Dropout,
     Dtype,
     MultiHeadAttention,
     lengths_to_padding_mask,
@@ -43,7 +44,7 @@ class PositionwiseConvFFN(nn.Module):
         x = jax.nn.relu(x)
         x = nn.Conv(self.out_dim, (self.kernel_size,), padding=[(p, p)],
                     dtype=self.dtype, name="conv2")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = Dropout(self.dropout, deterministic=not train)(x)
         return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x + residual)
 
 
@@ -87,14 +88,14 @@ class VariancePredictor(nn.Module):
                     dtype=self.dtype, name="conv1")(x)
         x = jax.nn.relu(x)
         x = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = Dropout(self.dropout, deterministic=not train)(x)
         # NOTE: the reference's second conv uses padding=1 regardless of
         # kernel size (``fastspeech2.py:131-138``); identical for k=3.
         x = nn.Conv(self.hidden_dim, (self.kernel_size,), padding=[(1, 1)],
                     dtype=self.dtype, name="conv2")(x)
         x = jax.nn.relu(x)
         x = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(1, dtype=self.dtype, name="proj")(x)[..., 0]  # [B, T]
 
 
@@ -203,7 +204,7 @@ class Postnet(nn.Module):
                              dtype=self.dtype, name=f"bn{i}")(x)
             if not last:
                 x = jnp.tanh(x)
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = Dropout(self.dropout, deterministic=not train)(x)
         return x
 
 
@@ -254,7 +255,7 @@ class FastSpeech2Encoder(nn.Module):
         pos = jnp.take(table, positions, axis=0).astype(self.dtype)
         pos_alpha = self.param("pos_emb_alpha", nn.initializers.ones, (1,))
         x = x + pos_alpha * pos
-        x = nn.Dropout(c.dropout, deterministic=not train)(x)
+        x = Dropout(c.dropout, deterministic=not train)(x)
 
         for i in range(c.encoder_layers):
             x = FFTLayer(
@@ -328,5 +329,5 @@ class FFNAdapter(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = jax.nn.relu(x)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)

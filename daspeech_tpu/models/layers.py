@@ -29,6 +29,41 @@ ACTIVATIONS: dict = {
 }
 
 
+class Dropout(nn.Module):
+    """u16-threshold dropout — drop-in for ``nn.Dropout`` at the call
+    patterns this codebase uses (rate + deterministic, "dropout" rng).
+
+    ``nn.Dropout`` draws a float32 uniform per element (32 RNG bits plus an
+    int->float conversion and float compare); the train-step trace shows
+    those masks as the largest VPU line item outside attention (~6.5 ms of
+    ``rng-bit-generator``+``lt`` at the recipe shapes). Drawing 16-bit
+    integers and comparing against an integer threshold reads a quarter of
+    the RNG bytes: measured 0.32 vs 0.51 ms per [19200, 2048] mask on the
+    chip. Keep probability is ``round((1-rate)*65536)/65536`` — within
+    2**-16 of exact.
+    """
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: Optional[bool] = None) -> jnp.ndarray:
+        det = nn.merge_param(
+            "deterministic", self.deterministic, deterministic)
+        if det or self.rate == 0.0:
+            return x
+        if self.rate == 1.0:
+            return jnp.zeros_like(x)
+        q = int(round((1.0 - self.rate) * 65536))
+        if q >= 65536:            # rate below 2**-17 rounds to keep-all
+            return x
+        keep_p = q / 65536.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        scaled = x * jnp.asarray(1.0 / keep_p, x.dtype)
+        return jnp.where(bits < jnp.uint16(q), scaled, jnp.zeros_like(x))
+
+
 def make_positions(tokens: jnp.ndarray, padding_idx: int) -> jnp.ndarray:
     """fairseq ``utils.make_positions``: position numbering starts at
     ``padding_idx + 1``; pads keep ``padding_idx``."""
@@ -173,7 +208,7 @@ class MultiHeadAttention(nn.Module):
                            > jnp.arange(Tq)[:, None])          # [Tq, Tk]
             scores = jnp.where(causal_mask[None, None], -jnp.inf, scores)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.dropout, deterministic=not train)(probs)
+        probs = Dropout(self.dropout, deterministic=not train)(probs)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(query.shape[0], query.shape[1], self.embed_dim)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="out_proj")(out)
@@ -191,9 +226,9 @@ class TransformerFFN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         x = ACTIVATIONS[self.activation](x)
-        x = nn.Dropout(self.activation_dropout, deterministic=not train)(x)
+        x = Dropout(self.activation_dropout, deterministic=not train)(x)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
-        return nn.Dropout(self.dropout, deterministic=not train)(x)
+        return Dropout(self.dropout, deterministic=not train)(x)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -222,7 +257,7 @@ class TransformerDecoderLayer(nn.Module):
         enc_pad_mask: Optional[jnp.ndarray],      # [B, S] True=pad
         train: bool = False,
     ) -> jnp.ndarray:
-        drop = lambda y: nn.Dropout(self.dropout, deterministic=not train)(y)
+        drop = lambda y: Dropout(self.dropout, deterministic=not train)(y)
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
 
         residual = x

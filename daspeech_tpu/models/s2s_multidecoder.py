@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from daspeech_tpu.models.conformer import ConformerEncoder
 from daspeech_tpu.models.layers import (
+    Dropout,
     Dtype,
     LearnedPositionalEmbedding,
     TransformerDecoderLayer,
@@ -59,7 +60,7 @@ class CausalTextDecoder(nn.Module):
                 self.embed_dim, self.ffn_dim, self.num_heads, self.dropout,
                 causal=True, dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)]
-        self.dropout_layer = nn.Dropout(self.dropout)
+        self.dropout_layer = Dropout(self.dropout)
 
     def extract_features(self, prev_tokens, enc, enc_pad, train=False):
         x = self.embed_tokens(prev_tokens) * math.sqrt(self.embed_dim)
@@ -128,7 +129,7 @@ class S2SMultiDecoderModel(nn.Module):
         self.prenet_0 = nn.Dense(self.prenet_dim, dtype=self.dtype)
         self.prenet_1 = nn.Dense(self.prenet_dim, dtype=self.dtype)
         self.prenet_proj = nn.Dense(self.mt_embed_dim, dtype=self.dtype)
-        self.prenet_dropout = nn.Dropout(0.5)
+        self.prenet_dropout = Dropout(0.5)
         self.tts_layers = [
             TTSDecoderLayer(self.mt_embed_dim, self.ffn_dim, self.mt_heads,
                             self.dropout, dtype=self.dtype,

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from daspeech_tpu.models.fastspeech2 import Postnet
 from daspeech_tpu.models.layers import (
+    Dropout,
     Dtype,
     MultiHeadAttention,
     TransformerFFN,
@@ -105,7 +106,7 @@ class TTSTransformer(nn.Module):
         self.prenet_0 = nn.Dense(self.prenet_dim, dtype=self.dtype)
         self.prenet_1 = nn.Dense(self.prenet_dim, dtype=self.dtype)
         self.prenet_proj = nn.Dense(self.embed_dim, dtype=self.dtype)
-        self.prenet_dropout = nn.Dropout(0.5)
+        self.prenet_dropout = Dropout(0.5)
         self.dec_layers = [
             TTSDecoderLayer(self.embed_dim, self.ffn_dim, self.num_heads,
                             self.dropout, dtype=self.dtype, name=f"dec_{i}")

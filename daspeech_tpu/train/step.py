@@ -78,6 +78,10 @@ def make_train_step(
 
         if nan_guard:
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            # tree-wide where, NOT lax.cond: a scalar-predicate conditional
+            # was measured SLOWER here (83.3 vs 78.9 ms/step) — XLA
+            # materializes both branch operand tuples, copying the whole
+            # params+Adam tree, where the select fuses into the update.
             new_params = jax.tree.map(
                 lambda new, old: jnp.where(ok, new, old),
                 new_params, state.params)

@@ -47,6 +47,46 @@ def tiny_fs2_cfg():
         fft_hidden_dim=32, var_pred_hidden_dim=16, var_pred_n_bins=8)
 
 
+class TestDropout:
+    """u16-threshold dropout (``models/layers.py::Dropout``) — the fast
+    drop-in for ``nn.Dropout``."""
+
+    def test_statistics_and_scaling(self):
+        from daspeech_tpu.models.layers import Dropout
+
+        x = jnp.ones((2000, 256), jnp.float32)
+        y = np.asarray(Dropout(0.1, deterministic=False).apply(
+            {}, x, rngs={"dropout": jax.random.key(0)}))
+        frac = (y == 0).mean()
+        assert abs(frac - 0.1) < 0.01, frac
+        kept = y[y != 0]
+        # keep prob is quantized to q/65536; scale is exactly 65536/q
+        q = int(round(0.9 * 65536))
+        np.testing.assert_allclose(kept, 65536 / q, rtol=1e-6)
+
+    def test_deterministic_and_zero_rate_passthrough(self):
+        from daspeech_tpu.models.layers import Dropout
+
+        x = jnp.arange(24.0).reshape(4, 6)
+        out = Dropout(0.3, deterministic=True).apply(
+            {}, x, rngs={"dropout": jax.random.key(0)})
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        out = Dropout(0.0, deterministic=False).apply({}, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+        a = Dropout(0.5, deterministic=False).apply(
+            {}, x, rngs={"dropout": jax.random.key(7)})
+        b = Dropout(0.5, deterministic=False).apply(
+            {}, x, rngs={"dropout": jax.random.key(7)})
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_call_time_deterministic_arg(self):
+        from daspeech_tpu.models.layers import Dropout
+
+        x = jnp.ones((8, 8))
+        out = Dropout(0.4).apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
 class TestConformer:
     def test_forward_shapes_and_masking(self):
         enc = ConformerEncoder(
