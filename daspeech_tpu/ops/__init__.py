@@ -48,13 +48,14 @@ __all__ = [
     "full_to_band",
     "dag_loss_pallas",
     "dag_loss_with_alpha_beta_pallas",
+    "dag_best_alignment_pallas",
 ]
 
 
 def __getattr__(name):
     # Pallas backends import lazily (they pull in pallas/Mosaic machinery).
     if name in ("dag_loss_pallas", "dag_loss_with_alpha_beta_pallas",
-                "dag_loss_forward_pallas"):
+                "dag_loss_forward_pallas", "dag_best_alignment_pallas"):
         from daspeech_tpu.ops import dag_pallas
 
         return getattr(dag_pallas, name)

@@ -226,3 +226,98 @@ def _bwd_ab(res, gs):
 
 
 dag_loss_with_alpha_beta_pallas.defvjp(_fwd_ab, _bwd_ab)
+
+
+def _viterbi_kernel(ol_pre, tl_pre, match_ref, links_ref, path_ref,
+                    traces_ref, *, T: int, L: int):
+    """Max-plus forward + in-kernel backtrace for ONE batch row.
+
+    The scan reference (``dag_ref.dag_best_alignment``) re-reads the
+    [L, L] links from HBM on each of T-1 steps and then runs a second
+    T-step backtrace scan whose per-step [B, L] path updates dominated the
+    step trace (~2 ms of ``dynamic_update_slice``). Here links, the
+    argmax traces, and the path all stay in VMEM; the backtrace extracts
+    ``traces[t][cur]`` with a one-hot lane reduction instead of dynamic
+    lane indexing. Equivalent of ``dag_best_alignment.cu:40-185``.
+    """
+    b = pl.program_id(0)
+    ol = ol_pre[b]
+    tl = tl_pre[b]
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    links = links_ref[0]                                     # [L, L]
+
+    # -inf (not a finite floor) so unreachable-vertex argmax traces match
+    # the scan reference bit for bit (all--inf columns pick index 0)
+    f0 = jnp.where(lcol == 0, match_ref[0, 0:1, :], -jnp.inf)
+
+    def fwd(t, f_row):
+        f_col = jax.lax.transpose(f_row, (1, 0))             # [L, 1]
+        scores = f_col + links                               # [L, L]
+        best = jnp.max(scores, axis=0, keepdims=True)        # [1, L]
+        # first argmax, matching jnp.argmax in the scan reference
+        arg = jnp.min(jnp.where(scores == best, sub_iota, L),
+                      axis=0, keepdims=True)
+        traces_ref[pl.ds(t, 1), :] = arg.astype(jnp.int32)
+        match_t = match_ref[0, pl.ds(t, 1), :]
+        return best + match_t
+
+    jax.lax.fori_loop(1, T, fwd, f0, unroll=False)
+
+    path0 = jnp.full((1, L), -1, dtype=jnp.int32)
+
+    def back(k, carry):
+        path, cur = carry
+        t = T - 1 - k
+        cur = jnp.where(t == tl - 1, ol - 1, cur)
+        active = t <= tl - 1
+        path = jnp.where((lcol == cur) & active, t, path)
+        row = traces_ref[pl.ds(jnp.maximum(t, 1), 1), :]
+        prev = jnp.sum(jnp.where(lcol == cur, row, 0))
+        cur = jnp.where(active & (t >= 1), prev, cur)
+        return path, cur
+
+    path, _ = jax.lax.fori_loop(0, T, back, (path0, jnp.int32(0)),
+                                unroll=False)
+    path_ref[0, 0] = path[0]
+
+
+def dag_best_alignment_pallas(
+    match_all: jnp.ndarray,      # [B, T, L]
+    links: jnp.ndarray,          # [B, L, L]
+    output_length: jnp.ndarray,  # [B]
+    target_length: jnp.ndarray,  # [B]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``dag_ref.dag_best_alignment`` (same first-argmax
+    tie-breaking); returns path [B, L] int32. Non-differentiable."""
+    B, T, L = match_all.shape
+    Tp, Lp = _round_up(T, 8), _round_up(L, 128)
+    if (Tp, Lp) != (T, L):
+        match_all = jnp.pad(match_all, ((0, 0), (0, Tp - T), (0, Lp - L)),
+                            constant_values=-jnp.inf)
+        links = jnp.pad(links, ((0, 0), (0, Lp - L), (0, Lp - L)),
+                        constant_values=-jnp.inf)
+    match_all = match_all.astype(jnp.float32)
+    links = links.astype(jnp.float32)
+    ol = output_length.astype(jnp.int32)
+    tl = target_length.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tp, Lp), lambda b, ol, tl: (b, 0, 0)),
+            pl.BlockSpec((1, Lp, Lp), lambda b, ol, tl: (b, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, Lp), lambda b, ol, tl: (b, 0, 0))],
+        scratch_shapes=[pltpu.VMEM((Tp, Lp), jnp.int32)],
+    )
+    kern = functools.partial(_viterbi_kernel, T=Tp, L=Lp)
+    (path,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, Lp), jnp.int32)],
+        interpret=interpret or INTERPRET,
+    )(ol, tl, match_all, links)
+    return jax.lax.stop_gradient(path[:, 0, :L])

@@ -61,6 +61,21 @@ class TestPallasKernel:
             assert (np.isfinite(pal) == m).all()
             np.testing.assert_allclose(pal[m], ref[m], rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("shape", [(3, 6, 11), (2, 9, 130), (4, 8, 16)])
+    def test_best_alignment_matches_scan(self, shape):
+        """Pallas Viterbi (fwd max-plus + in-kernel backtrace) must equal
+        the scan reference EXACTLY, including first-argmax tie-breaking."""
+        from daspeech_tpu.ops import dag_best_alignment
+        from daspeech_tpu.ops.dag_pallas import dag_best_alignment_pallas
+
+        B, T, L = shape
+        rng = np.random.default_rng(sum(shape) + 5)
+        match, links, ol, tl = make_random_dag(rng, B=B, T=T, L=L)
+        ref = dag_best_alignment(match, links, ol, tl)
+        got = dag_best_alignment_pallas(match, links, ol, tl,
+                                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_grads_through_pallas_forward(self, monkeypatch):
         """The custom VJP over the Pallas forward must produce the same
         match/links cotangents as the scan backend (the closed-form
