@@ -151,14 +151,30 @@ class GlatLinkDecoder(nn.Module):
         # exactly the reference's fp16-autocast regime for this matmul —
         # ``nat_speech_to_text.py:241-291``); the einsum ACCUMULATES in f32
         # and everything downstream (softmax, gating, the DAG DP) is f32.
-        q = self.query_linear(feats).reshape(B, L, H, dk)
-        k = self.key_linear(feats).reshape(B, L, H, dk)
+        q_packed = self.query_linear(feats)                  # [B, L, H*dk]
+        k_packed = self.key_linear(feats)
         log_gates = jax.nn.log_softmax(
             self.gate_linear(feats).astype(jnp.float32), axis=-1)  # [B, L, H]
+        out_len = jnp.sum(prev_output_tokens != self.pad, axis=-1)   # [B]
+
+        from daspeech_tpu.ops import fused_attention as _fa
+        from daspeech_tpu.ops.fused_links import (
+            fused_extract_links, links_kernel_fits_vmem)
+
+        mtl = (self.max_transition_length
+               if 0 < self.max_transition_length < L - 1 else None)
+        if _fa.available() and links_kernel_fits_vmem(L, self.embed_dim):
+            # head-streaming Pallas kernel: the [B, L, L, H] f32 scores
+            # never touch HBM (147 MB/pass at the recipe shape, walked
+            # several times by the XLA path below)
+            return fused_extract_links(
+                q_packed, k_packed, log_gates, out_len,
+                H, 1.0 / math.sqrt(dk), mtl)
+
+        q = q_packed.reshape(B, L, H, dk)
+        k = k_packed.reshape(B, L, H, dk)
         scores = jnp.einsum("bihd,bjhd->bijh", q, k,
                             preferred_element_type=jnp.float32) / math.sqrt(dk)
-
-        out_len = jnp.sum(prev_output_tokens != self.pad, axis=-1)   # [B]
         i_idx = jnp.arange(L)[None, :, None]
         j_idx = jnp.arange(L)[None, None, :]
         valid = (j_idx > i_idx) & (j_idx < out_len[:, None, None])   # [B, L, L]
