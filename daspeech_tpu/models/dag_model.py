@@ -163,10 +163,11 @@ class GlatLinkDecoder(nn.Module):
 
         mtl = (self.max_transition_length
                if 0 < self.max_transition_length < L - 1 else None)
-        if _fa.available() and links_kernel_fits_vmem(L, self.embed_dim):
+        if _fa.available_spmd() and links_kernel_fits_vmem(L, self.embed_dim):
             # head-streaming Pallas kernel: the [B, L, L, H] f32 scores
             # never touch HBM (147 MB/pass at the recipe shape, walked
-            # several times by the XLA path below)
+            # several times by the XLA path below). GSPMD-safe: its
+            # custom_partitioning rule shards batch dim 0.
             return fused_extract_links(
                 q_packed, k_packed, log_gates, out_len,
                 H, 1.0 / math.sqrt(dk), mtl)

@@ -154,14 +154,21 @@ class MultiHeadAttention(nn.Module):
 
         from daspeech_tpu.ops import fused_attention as _fa
 
-        if (self.fused and not self.causal and d_head <= 128
-                and _fa.available()):
+        use_packed = use_perhead = False
+        if self.fused and not self.causal and d_head <= 128:
+            Tq, Tk = query.shape[1], key.shape[1]
+            if (_fa.available_spmd()
+                    and _fa.packed_fits_vmem(Tq, Tk, self.embed_dim,
+                                             self.num_heads)):
+                use_packed = True          # GSPMD-safe, any device count
+            elif _fa.available():
+                use_perhead = True         # single-device-only fallback
+
+        if use_packed or use_perhead:
             from daspeech_tpu.ops.fused_attention import (
-                NEG, fused_attention, fused_attention_packed,
-                packed_fits_vmem)
+                NEG, fused_attention, fused_attention_packed)
 
             B, Tk = key.shape[0], key.shape[1]
-            Tq = query.shape[1]
             if key_padding_mask is not None:
                 all_masked = jnp.all(key_padding_mask, axis=-1)
                 kpm = key_padding_mask & ~all_masked[:, None]
@@ -169,19 +176,23 @@ class MultiHeadAttention(nn.Module):
             else:
                 bias = jnp.zeros((B, Tk), jnp.float32)
             use_drop = train and self.dropout > 0.0
-            seed = (jax.random.bits(self.make_rng("dropout"), (),
-                                    jnp.uint32).astype(jnp.int32)
-                    if use_drop else jnp.int32(0))
-            if packed_fits_vmem(Tq, Tk, self.embed_dim, self.num_heads):
+            if use_packed:
                 # packed [B, T, H*d] layout: native head dim (no 64->128
                 # lane padding), no transposes — the Dense outputs feed
                 # the kernel directly. ~40% faster at the decoder shape.
+                # Per-row seeds keep the dropout stream sharding-invariant.
+                seeds = (jax.random.bits(self.make_rng("dropout"), (B,),
+                                         jnp.uint32).astype(jnp.int32)
+                         if use_drop else jnp.zeros((B,), jnp.int32))
                 out = fused_attention_packed(
-                    q, k, v, bias, seed,
+                    q, k, v, bias, seeds,
                     1.0,               # q is pre-scaled by d_head**-0.5
                     self.dropout if use_drop else 0.0, use_drop,
                     self.num_heads)
             else:
+                seed = (jax.random.bits(self.make_rng("dropout"), (),
+                                        jnp.uint32).astype(jnp.int32)
+                        if use_drop else jnp.int32(0))
                 to_bhtd = lambda x: jnp.swapaxes(split(x), 1, 2)
                 out = fused_attention(
                     to_bhtd(q), to_bhtd(k), to_bhtd(v), bias, seed,

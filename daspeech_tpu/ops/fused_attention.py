@@ -41,12 +41,23 @@ ALLOW_MULTI_DEVICE = False
 
 
 def available() -> bool:
-    """Fused kernels are usable: TPU backend and (single device or the
-    shard_map override)."""
+    """Single-device-only fused kernels are usable: TPU backend and
+    (single device or the shard_map override)."""
     import jax
 
     return (jax.default_backend() == "tpu"
             and (jax.device_count() == 1 or ALLOW_MULTI_DEVICE))
+
+
+def available_spmd() -> bool:
+    """GSPMD-compatible kernels (:func:`fused_attention_packed`,
+    ``ops/fused_links.py``) are usable: TPU backend, ANY device count —
+    their ``custom_partitioning`` rules shard batch dim 0, so the
+    partitioner runs them per-shard instead of treating the pallas_call
+    as an unshardable opaque custom call."""
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -226,9 +237,11 @@ def _attn_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     """
     b = pl.program_id(0)
     if dropout:
-        # one seed per batch row; heads draw sequentially in loop order,
-        # so the backward regenerates the identical stream
-        pltpu.prng_seed(seed_ref[0], b)
+        # one PER-ROW seed (seed_ref [B]); heads draw sequentially in loop
+        # order, so the backward regenerates the identical stream. Per-row
+        # (not per-program) seeding keeps the stream invariant under batch
+        # sharding: each shard's local seeds travel with its rows.
+        pltpu.prng_seed(seed_ref[b])
     bias_row = bias_ref[b][None, :]
     for h in range(num_heads):
         q = q_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
@@ -257,7 +270,7 @@ def _attn_bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     """Recompute-based packed backward; bit-identical dropout stream."""
     b = pl.program_id(0)
     if dropout:
-        pltpu.prng_seed(seed_ref[0], b)
+        pltpu.prng_seed(seed_ref[b])
     bias_row = bias_ref[b][None, :]
     for h in range(num_heads):
         q = q_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32)
@@ -343,24 +356,36 @@ def packed_fits_vmem(Tq: int, Tk: int, C: int, num_heads: int) -> bool:
     return tiles + temps < 10 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def fused_attention_packed(q, k, v, bias, seed,
-                           sm_scale: float, dropout_p: float, train: bool,
-                           num_heads: int):
-    """Packed-layout fused MHA: q [B, Tq, H*d], k/v [B, Tk, H*d],
-    bias [B, Tk] additive column bias -> out [B, Tq, H*d].
+def _batch_dim0_partition(impl):
+    """``custom_partitioning`` rule body: every array arg and result shares
+    batch dim 0 (sharded however the operands arrive); all other dims
+    replicated. ``lower_fn`` just runs the per-shard pallas wrapper on the
+    local rows — per-row seeds travel with their rows, so the dropout
+    stream is invariant to the device count."""
+    def partition(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    Same math as :func:`fused_attention` but one grid step per batch row
-    with an in-kernel head loop at the NATIVE head dim — no 64->128 lane
-    padding, no [B, H, T, d] transposes at the call site. Use when
-    :func:`packed_fits_vmem`; fall back to :func:`fused_attention` above.
-    """
-    out, _ = _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train,
-                         num_heads)
-    return out
+        qspec = arg_shapes[1].sharding.spec        # q carries the verdict
+        b_axis = qspec[0] if len(qspec) > 0 else None
+
+        def shard(x):
+            dims = [None] * len(x.shape)
+            dims[0] = b_axis
+            return NamedSharding(mesh, PartitionSpec(*dims))
+
+        arg_shardings = tuple(shard(a) for a in arg_shapes)
+        result_shardings = jax.tree.map(shard, result_shape)
+
+        def lower_fn(*args):
+            return impl(*args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    return partition
 
 
-def _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train, num_heads):
+def _packed_fwd_impl(seeds, q, k, v, bias,
+                     sm_scale, dropout_p, train, num_heads):
     B, Tq, C = q.shape
     d = C // num_heads
     qp, kp, vp, biasp, Tqp, Tkp = _pad_packed(q, k, v, bias)
@@ -368,13 +393,12 @@ def _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train, num_heads):
     kern = functools.partial(
         _attn_kernel_packed, sm_scale=sm_scale, keep_p=1.0 - dropout_p,
         dropout=drop, num_heads=num_heads, d=d)
-    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
-    (out,) = _grid_call_packed(kern, ["q"], seed, qp, kp, vp, biasp)
-    return out[:, :Tq], (q, k, v, bias, seed)
+    (out,) = _grid_call_packed(kern, ["q"], seeds, qp, kp, vp, biasp)
+    return out[:, :Tq]
 
 
-def _packed_bwd(sm_scale, dropout_p, train, num_heads, res, g):
-    q, k, v, bias, seed = res
+def _packed_bwd_impl(seeds, q, k, v, bias, g,
+                     sm_scale, dropout_p, train, num_heads):
     B, Tq, C = q.shape
     Tk = k.shape[1]
     d = C // num_heads
@@ -385,8 +409,92 @@ def _packed_bwd(sm_scale, dropout_p, train, num_heads, res, g):
         _attn_bwd_kernel_packed, sm_scale=sm_scale, keep_p=1.0 - dropout_p,
         dropout=drop, num_heads=num_heads, d=d)
     dqp, dkp, dvp = _grid_call_packed(
-        kern, ["q", "k", "k"], seed, qp, kp, vp, biasp, extra=(gp,))
-    return dqp[:, :Tq], dkp[:, :Tk], dvp[:, :Tk], None, None
+        kern, ["q", "k", "k"], seeds, qp, kp, vp, biasp, extra=(gp,))
+    return dqp[:, :Tq], dkp[:, :Tk], dvp[:, :Tk]
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_fwd_spmd(sm_scale, dropout_p, train, num_heads):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(seeds, q, k, v, bias):
+        return _packed_fwd_impl(seeds, q, k, v, bias,
+                                sm_scale, dropout_p, train, num_heads)
+
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition=_batch_dim0_partition(impl),
+        sharding_rule="b, b q c, b k c, b k c, b k -> b q c",
+        # factor order must follow first appearance in the rule
+        need_replication_factors=("q", "c", "k"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_bwd_spmd(sm_scale, dropout_p, train, num_heads):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(seeds, q, k, v, bias, g):
+        return _packed_bwd_impl(seeds, q, k, v, bias, g,
+                                sm_scale, dropout_p, train, num_heads)
+
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition=_batch_dim0_partition(impl),
+        sharding_rule="b, b q c, b k c, b k c, b k, b q c "
+                      "-> b q c, b k c, b k c",
+        need_replication_factors=("q", "c", "k"),
+    )
+    return f
+
+
+def _norm_seeds(seed, B):
+    """Accept a scalar seed (tests / no-dropout) or per-row [B] seeds; a
+    scalar expands to distinct consecutive per-row seeds (the TPU PRNG
+    hashes its seed, so consecutive values give decorrelated streams —
+    the same contract as the previous (seed, row) two-word seeding)."""
+    seeds = jnp.asarray(seed, jnp.int32)
+    if seeds.ndim == 0:
+        seeds = seeds + jnp.arange(B, dtype=jnp.int32)
+    return seeds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_attention_packed(q, k, v, bias, seed,
+                           sm_scale: float, dropout_p: float, train: bool,
+                           num_heads: int):
+    """Packed-layout fused MHA: q [B, Tq, H*d], k/v [B, Tk, H*d],
+    bias [B, Tk] additive column bias -> out [B, Tq, H*d]; ``seed`` is a
+    scalar or per-row [B] int32 (ignored unless training with dropout).
+
+    Same math as :func:`fused_attention` but one grid step per batch row
+    with an in-kernel head loop at the NATIVE head dim — no 64->128 lane
+    padding, no [B, H, T, d] transposes at the call site. Use when
+    :func:`packed_fits_vmem`; fall back to :func:`fused_attention` above.
+    Unlike the other kernels here, this one is GSPMD-compatible: a
+    ``custom_partitioning`` rule shards every operand on batch dim 0, so
+    multi-device data-parallel jits keep the kernel (each device runs it
+    on its local rows) instead of falling back to XLA.
+    """
+    out, _ = _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train,
+                         num_heads)
+    return out
+
+
+def _packed_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train, num_heads):
+    seeds = _norm_seeds(seed, q.shape[0])
+    out = _packed_fwd_spmd(sm_scale, dropout_p, bool(train), num_heads)(
+        seeds, q, k, v, bias)
+    return out, (q, k, v, bias, seeds)
+
+
+def _packed_bwd(sm_scale, dropout_p, train, num_heads, res, g):
+    q, k, v, bias, seeds = res
+    dq, dk, dv = _packed_bwd_spmd(
+        sm_scale, dropout_p, bool(train), num_heads)(
+        seeds, q, k, v, bias, g)
+    return dq, dk, dv, None, None
 
 
 fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)

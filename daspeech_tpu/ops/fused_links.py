@@ -169,21 +169,19 @@ def _grid_call(kernel, outs, ol, args, L, Lp):
     )(ol, *args)
 
 
-def _fel_fwd(q, k, log_gates, output_length, num_heads, scale, mtl):
+def _links_fwd_impl(ol, q, k, log_gates, num_heads, scale, mtl):
     B, L, C = q.shape
     dkh = C // num_heads
     Lp = _round_up(L, 128)
     qp, kp = _pad_lc(q, Lp), _pad_lc(k, Lp)
     gp = _pad_lc(log_gates.astype(jnp.float32), Lp)
-    ol = output_length.astype(jnp.int32)
     kern = functools.partial(_links_fwd_kernel, H=num_heads, dk=dkh,
                              scale=scale, mtl=mtl)
     (links,) = _grid_call(kern, [(jnp.float32, Lp)], ol, (qp, kp, gp), L, Lp)
-    return links[:, :L, :L], (q, k, log_gates, output_length)
+    return links[:, :L, :L]
 
 
-def _fel_bwd(num_heads, scale, mtl, res, g):
-    q, k, log_gates, output_length = res
+def _links_bwd_impl(ol, q, k, log_gates, g, num_heads, scale, mtl):
     B, L, C = q.shape
     dkh = C // num_heads
     Lp = _round_up(L, 128)
@@ -192,14 +190,67 @@ def _fel_bwd(num_heads, scale, mtl, res, g):
     gout = g.astype(jnp.float32)
     if Lp != L:
         gout = jnp.pad(gout, ((0, 0), (0, Lp - L), (0, Lp - L)))
-    ol = output_length.astype(jnp.int32)
     kern = functools.partial(_links_bwd_kernel, H=num_heads, dk=dkh,
                              scale=scale, mtl=mtl)
     Hp = log_gates.shape[2]
     dq, dk_, dg = _grid_call(
         kern, [(q.dtype, C), (k.dtype, C), (jnp.float32, Hp)],
         ol, (qp, kp, gp, gout), L, Lp)
-    return (dq[:, :L], dk_[:, :L], dg[:, :L].astype(log_gates.dtype), None)
+    return dq[:, :L], dk_[:, :L], dg[:, :L].astype(log_gates.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _links_fwd_spmd(num_heads, scale, mtl):
+    """GSPMD wrapper (batch dim 0 sharded, everything else replicated) —
+    multi-device data-parallel jits keep the kernel per-shard."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from daspeech_tpu.ops.fused_attention import _batch_dim0_partition
+
+    def impl(ol, q, k, log_gates):
+        return _links_fwd_impl(ol, q, k, log_gates, num_heads, scale, mtl)
+
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition=_batch_dim0_partition(impl),
+        sharding_rule="b, b i c, b j c, b i h -> b i j",
+        # factor order must follow first appearance in the rule
+        need_replication_factors=("i", "c", "j", "h"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _links_bwd_spmd(num_heads, scale, mtl):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from daspeech_tpu.ops.fused_attention import _batch_dim0_partition
+
+    def impl(ol, q, k, log_gates, g):
+        return _links_bwd_impl(ol, q, k, log_gates, g,
+                               num_heads, scale, mtl)
+
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition=_batch_dim0_partition(impl),
+        sharding_rule="b, b i c, b j c, b i h, b i j "
+                      "-> b i c, b j c, b i h",
+        need_replication_factors=("i", "c", "j", "h"),
+    )
+    return f
+
+
+def _fel_fwd(q, k, log_gates, output_length, num_heads, scale, mtl):
+    ol = output_length.astype(jnp.int32)
+    links = _links_fwd_spmd(num_heads, scale, mtl)(ol, q, k, log_gates)
+    return links, (q, k, log_gates, ol)
+
+
+def _fel_bwd(num_heads, scale, mtl, res, g):
+    q, k, log_gates, ol = res
+    dq, dk_, dg = _links_bwd_spmd(num_heads, scale, mtl)(
+        ol, q, k, log_gates, g)
+    return dq, dk_, dg, None
 
 
 fused_extract_links.defvjp(_fel_fwd, _fel_bwd)
