@@ -37,13 +37,12 @@ class ConformerConfig:
     input_feat_dim: int = 80
     no_scale_embedding: bool = False
     max_source_positions: int = 6000
-    # Pallas fused attention for the rel-pos MHSA (ops/fused_attention.py
-    # full-bias variant). MEASURED SLOWER at the recipe shape (13.0 vs
-    # 11.1 ms encoder fwd; step 95.6 vs 91.3 ms): post-subsample T'~120
-    # keeps the probs small while the rel-pos bias must materialize in HBM
-    # either way, so the fusion buys nothing. Off by default; the kernel
-    # stays tested for long-input configs where T' grows.
-    fused_attention: bool = False
+    # Pallas fused rel-pos attention (ops/fused_relpos.py). The module
+    # self-gates: below T'=KERNEL_MIN_T (256) the XLA rotation path is
+    # faster and runs instead (the recipe's post-subsample T'~120 lands
+    # there); long-input configs (T'>=256, e.g. un-bucketed inference)
+    # take the kernel, measured -28% at T'=512. Safe to leave on.
+    fused_attention: bool = True
 
 
 @dataclass(frozen=True)

@@ -78,78 +78,103 @@ def rel_positional_encoding(seq_len: int, dim: int, dtype=jnp.float32):
     return pe[None].astype(dtype)
 
 
+class _PosKernel(nn.Module):
+    """Bare ``linear_pos`` kernel with the same param tree as a bias-free
+    ``nn.Dense`` ([in, out], lecun_normal) — the rotation formulation below
+    needs W_p^T, which a Dense application cannot express."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.dim, self.dim))
+
+
 class RelPosMultiHeadAttention(nn.Module):
     """Transformer-XL style relative-position MHSA with learned pos_bias_u/v.
 
     Mirrors ``RelPositionMultiHeadedAttention``
-    (``espnet_multihead_attention.py:111-210``) including its ``rel_shift``.
+    (``espnet_multihead_attention.py:111-210``), but computes the position
+    score WITHOUT the [B, H, T, 2T-1] tensor and its ``rel_shift``
+    pad/reshape copies: by the sinusoid angle-addition identity,
+    ``bd[i,j] = q_v[i]·(W_p pe(i-j)) = rotate(W_p^T q_v[i]; s_i, c_i)·e[j]``
+    — one matmul against a constant [T, C] basis
+    (``ops/fused_relpos.relpos_basis``; exact to f32 roundoff vs the shift
+    path, locked by a test). With ``fused=True`` on TPU the whole
+    ``softmax((q@kᵀ + a@eᵀ)·scale)·V`` block runs as one VMEM-resident
+    Pallas program per batch row (``ops/fused_relpos.py``).
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
-    fused: bool = False       # Pallas fused softmax+dropout+V (TPU only);
-    #                           the rel-pos bd term rides as a full bias
+    fused: bool = False       # Pallas fused rel-pos attention (TPU only)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,                     # [B, T, C]
-        pos_emb: jnp.ndarray,               # [1, 2T-1, C]
+        pos_emb: jnp.ndarray,               # [1, 2T-1, C] (unused: the
+        #                                     basis is rebuilt from T, C)
         key_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True=pad
         train: bool = False,
     ) -> jnp.ndarray:
+        from daspeech_tpu.ops import fused_relpos as _fr
+
         B, T, _ = x.shape
         H = self.num_heads
-        d = self.embed_dim // H
-        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)
+        C = self.embed_dim
+        d = C // H
+        dense = lambda name: nn.Dense(C, dtype=self.dtype, name=name)
 
-        q = dense("linear_q")(x).reshape(B, T, H, d)
-        k = dense("linear_k")(x).reshape(B, T, H, d)
-        v = dense("linear_v")(x).reshape(B, T, H, d)
-        p = nn.Dense(self.embed_dim, use_bias=False, dtype=self.dtype,
-                     name="linear_pos")(pos_emb)
-        p = p.reshape(1, -1, H, d)          # [1, 2T-1, H, d]
+        q = dense("linear_q")(x)            # [B, T, H*d] packed
+        k = dense("linear_k")(x)
+        v = dense("linear_v")(x)
+        K = _PosKernel(C, name="linear_pos")()          # [C, C]
 
         bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (H, d))
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (H, d))
 
-        q_u = q + bias_u.astype(self.dtype)[None, None]
-        q_v = q + bias_v.astype(self.dtype)[None, None]
+        q_u = q + bias_u.astype(self.dtype).reshape(-1)
+        q_v = (q + bias_v.astype(self.dtype).reshape(-1)).reshape(B, T, H, d)
 
-        # position score before shift: [B, H, T, 2T-1]
-        bd = jnp.einsum("bqhd,bphd->bhqp", q_v, p,
-                        preferred_element_type=jnp.float32)
-        bd = self._rel_shift(bd)            # [B, H, T, T]
+        # rotated position queries: z = W_p^T q_v per head, channels in
+        # split-half (sin | cos) order via a row permutation of W_p
+        perm = jnp.concatenate([jnp.arange(0, C, 2), jnp.arange(1, C, 2)])
+        Kr = K[perm].astype(self.dtype).reshape(C, H, d)
+        z = jnp.einsum("bthm,chm->bthc", q_v, Kr)       # [B, T, H, C]
+        s_i, c_i, e = _fr.relpos_basis(T, C)
+        a = _fr.relpos_rotate(z, s_i[:, None].astype(self.dtype),
+                              c_i[:, None].astype(self.dtype))  # [B,T,H,C]
+        e = e.astype(self.dtype)                        # [T, C]
 
-        from daspeech_tpu.ops import fused_attention as _fa
-
-        if self.fused and d <= 128 and _fa.available():
-            from daspeech_tpu.ops.fused_attention import (
-                NEG, fused_attention_full_bias)
-
-            # bd (the rel-pos score) becomes the additive full bias; the
-            # kernel computes ac in-VMEM and fuses mask+softmax+dropout+@V
-            bias4 = bd / math.sqrt(d)
+        if (self.fused and d <= 128 and T >= _fr.KERNEL_MIN_T
+                and _fr.available() and _fr.relpos_fits_vmem(T, C, H)):
             if key_padding_mask is not None:
-                bias4 = jnp.where(
-                    key_padding_mask[:, None, None, :], NEG, bias4)
+                all_masked = jnp.all(key_padding_mask, axis=-1)
+                kpm = key_padding_mask & ~all_masked[:, None]
+                bias = jnp.where(kpm, _fr.NEG, 0.0).astype(jnp.float32)
+            else:
+                bias = jnp.zeros((B, T), jnp.float32)
             use_drop = train and self.dropout > 0.0
-            seed = (jax.random.bits(self.make_rng("dropout"), (),
-                                    jnp.uint32).astype(jnp.int32)
-                    if use_drop else jnp.int32(0))
-            out = fused_attention_full_bias(
-                jnp.swapaxes(q_u, 1, 2), jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2), bias4, seed,
+            # per-row seeds: the dropout stream travels with its rows
+            seeds = (jax.random.bits(self.make_rng("dropout"), (B,),
+                                     jnp.uint32).astype(jnp.int32)
+                     if use_drop else jnp.zeros((B,), jnp.int32))
+            out = _fr.fused_attention_relpos(
+                q_u, k, v, a.reshape(B, T, H * C), e, bias, seeds,
                 1.0 / math.sqrt(d),
-                self.dropout if use_drop else 0.0, use_drop)
-            out = jnp.swapaxes(out, 1, 2).reshape(B, T, self.embed_dim)
-            return nn.Dense(self.embed_dim, dtype=self.dtype,
-                            name="linear_out")(out)
+                self.dropout if use_drop else 0.0, use_drop, H)
+            return nn.Dense(C, dtype=self.dtype, name="linear_out")(out)
 
-        # content score: [B, H, T, T]
-        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u, k,
+        q_u4 = q_u.reshape(B, T, H, d)
+        k4 = k.reshape(B, T, H, d)
+        v4 = v.reshape(B, T, H, d)
+        ac = jnp.einsum("bqhd,bkhd->bhqk", q_u4, k4,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("bqhc,kc->bhqk", a, e,
                         preferred_element_type=jnp.float32)
         scores = (ac + bd) / math.sqrt(d)
         if key_padding_mask is not None:
@@ -157,8 +182,8 @@ class RelPosMultiHeadAttention(nn.Module):
                 key_padding_mask[:, None, None, :], -jnp.inf, scores)
         probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
         probs = Dropout(self.dropout, deterministic=not train)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, self.embed_dim)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_out")(out)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v4).reshape(B, T, C)
+        return nn.Dense(C, dtype=self.dtype, name="linear_out")(out)
 
     @staticmethod
     def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
