@@ -17,6 +17,13 @@ Dtype = jnp.dtype
 
 
 def gelu(x):
+    """Exact erf GELU in f32 (torch-parity: fairseq's gelu is
+    ``F.gelu``), tanh approximation in half precision — the approximation
+    error (<2e-3) is below bf16 resolution while erf's polynomial costs
+    +0.4 ms per decoder FFN on the chip (measured at B=80, L=240,
+    F=2048: 1.11 vs 0.69 ms fwd)."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
