@@ -278,15 +278,78 @@ class ConvolutionModule(nn.Module):
         return Dropout(self.dropout, deterministic=not train)(x)
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense params (same tree/init as ``nn.Dense``) for kernels
+    that need the raw weights."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dout,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Bare LayerNorm params (same tree/init as ``nn.LayerNorm``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones_init(),
+                           (self.dim,)),
+                self.param("bias", nn.initializers.zeros_init(),
+                           (self.dim,)))
+
+
 class FeedForwardModule(nn.Module):
+    """Macaron FFN (``conformer_layer.py:103-147``).  ``fused=True``
+    routes the whole LN -> W1 -> swish -> dropout -> W2 -> dropout chain
+    through one VMEM-resident Pallas program (``ops/fused_ffn.py``;
+    identical parameters either way).  Default OFF by measurement: at the
+    recipe shape the kernel TIES the XLA path forward (0.33 vs 0.34 ms —
+    XLA already keeps traffic near the roofline here) and LOSES backward
+    (0.77 vs 0.46 ms: the per-row dW matmuls have K=T'~120 while XLA
+    computes one [C, B*T']@[B*T', F] dW at full MXU efficiency), so the
+    kernel stays a verified alternate backend like ``ops/dag_pallas.py``.
+    """
+
     embed_dim: int
     ffn_dim: int
     dropout: float = 0.1
     activation: str = "swish"
+    fused: bool = False         # Pallas fused FFN (TPU, single device)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from daspeech_tpu.ops import fused_ffn as _ff
+
+        if (self.fused and self.activation == "swish" and x.ndim == 3
+                and _ff.available()
+                and _ff.ffn_fits_vmem(x.shape[1], self.embed_dim,
+                                      self.ffn_dim)):
+            B = x.shape[0]
+            gamma, beta = _LNParams(self.embed_dim, name="layer_norm")()
+            w1, b1 = _DenseParams(self.embed_dim, self.ffn_dim,
+                                  name="w_1")()
+            w2, b2 = _DenseParams(self.ffn_dim, self.embed_dim,
+                                  name="w_2")()
+            use_drop = train and self.dropout > 0.0
+            seeds = (jax.random.bits(self.make_rng("dropout"), (B,),
+                                     jnp.uint32).astype(jnp.int32)
+                     if use_drop else jnp.zeros((B,), jnp.int32))
+            p = self.dropout if use_drop else 0.0
+            return _ff.fused_ffn(
+                x, gamma, beta,
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                seeds, p, p, use_drop)
+
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w_1")(x)
         x = ACTIVATIONS[self.activation](x)

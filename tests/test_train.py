@@ -298,3 +298,64 @@ class TestStepFeatures:
         for a, b in zip(jax.tree.leaves(params0), jax.tree.leaves(s1.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(s1.step) == 1  # step counter still advances
+
+
+class TestFusedGuardedAdam:
+    """The single-pass fused clip+Adam+wd+lr+guard (train_state.py::
+    _fused_guarded_adam) must match the stock optax chain it replaces,
+    step for step, including both schedule counts."""
+
+    def _tree(self, rng):
+        return {
+            "a": jnp.asarray(rng.normal(size=(7, 5)).astype(np.float32)),
+            "b": {"w": jnp.asarray(rng.normal(size=(11,))
+                                   .astype(np.float32))},
+        }
+
+    @pytest.mark.parametrize("wd,clip", [(0.01, 1.0), (0.0, 1.0),
+                                         (0.01, 0.0)])
+    def test_matches_optax_chain(self, wd, clip):
+        import optax
+
+        tx = make_optimizer(lr=1e-3, warmup_updates=5, weight_decay=wd,
+                            clip_norm=clip)
+        rng = np.random.default_rng(0)
+        params_c = self._tree(rng)
+        params_f = jax.tree.map(jnp.array, params_c)
+        st_c = tx.init(params_c)
+        st_f = tx.init(params_f)
+        ok = jnp.bool_(True)
+        for i in range(6):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.normal(size=p.shape).astype(np.float32) * (i + 1)),
+                params_c)
+            gnorm = optax.global_norm(grads)
+            updates, st_c = tx.update(grads, st_c, params_c)
+            params_c = jax.tree.map(lambda p, u: p + u, params_c, updates)
+            params_f, st_f = tx.fused_update(params_f, st_f, grads,
+                                             gnorm, ok)
+            for a, b in zip(jax.tree.leaves(params_c),
+                            jax.tree.leaves(params_f)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-6, atol=2e-7)
+            for a, b in zip(jax.tree.leaves(st_c), jax.tree.leaves(st_f)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-6, atol=2e-7)
+
+    def test_skip_freezes_everything(self):
+        tx = make_optimizer(lr=1e-3, warmup_updates=5)
+        rng = np.random.default_rng(1)
+        params = self._tree(rng)
+        st = tx.init(params)
+        # advance once so counts are nonzero
+        grads = jax.tree.map(jnp.ones_like, params)
+        params, st = tx.fused_update(params, st, grads,
+                                     jnp.float32(1.0), jnp.bool_(True))
+        bad = jax.tree.map(lambda p: jnp.full_like(p, jnp.nan), params)
+        p2, st2 = tx.fused_update(params, st, bad, jnp.float32(jnp.nan),
+                                  jnp.bool_(False))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
