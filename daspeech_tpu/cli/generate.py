@@ -273,8 +273,16 @@ def _generate_tts(args):
         model, vocab, max_mel_len=args.max_mel_len, vocoder=vocoder,
         vocoder_params=vocoder_params, gcmvn=gcmvn)
 
-    out_dir = Path(args.results_path)
+    return _emit_feature_outputs(it, gen, params, Path(args.results_path))
+
+
+
+def _emit_feature_outputs(it, gen, params, out_dir, hypo_line=None):
+    """Shared batch loop for the TTS-style generator types: per-utterance
+    transposed mel .npy under feat/ (+ optional wav and hypos.txt line) —
+    the reference's dump loop (``generate_features.py:87-133``)."""
     (out_dir / "feat").mkdir(parents=True, exist_ok=True)
+    hypos_file = (out_dir / "hypos.txt").open("w") if hypo_line else None
     n = 0
     for spec, idxs in it.batches_for_epoch(0):
         batch = it.collate(spec, idxs)
@@ -283,6 +291,8 @@ def _generate_tts(args):
         for i, local in enumerate(idxs):
             utt_id = it.dataset.rows[local]["id"]
             h = hypos[i]
+            if hypos_file is not None:
+                hypos_file.write(hypo_line(utt_id, h))
             np.save(out_dir / "feat" / f"{utt_id}.npy",
                     np.asarray(h["feature"]).T)
             if "waveform" in h:
@@ -290,6 +300,8 @@ def _generate_tts(args):
                 write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
                           np.asarray(h["waveform"]))
             n += 1
+    if hypos_file is not None:
+        hypos_file.close()
     print(json.dumps({"generated": n, "results": str(out_dir)}))
     return 0
 
@@ -357,25 +369,7 @@ def _generate_ar_tts(args):
         vocoder_params=vocoder_params, gcmvn=gcmvn,
         stop_threshold=args.stop_threshold)
 
-    out_dir = Path(args.results_path)
-    (out_dir / "feat").mkdir(parents=True, exist_ok=True)
-    n = 0
-    for spec, idxs in it.batches_for_epoch(0):
-        batch = it.collate(spec, idxs)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        hypos = gen.generate(params, jb)
-        for i, local in enumerate(idxs):
-            utt_id = it.dataset.rows[local]["id"]
-            h = hypos[i]
-            np.save(out_dir / "feat" / f"{utt_id}.npy",
-                    np.asarray(h["feature"]).T)
-            if "waveform" in h:
-                (out_dir / "wav").mkdir(exist_ok=True)
-                write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
-                          np.asarray(h["waveform"]))
-            n += 1
-    print(json.dumps({"generated": n, "results": str(out_dir)}))
-    return 0
+    return _emit_feature_outputs(it, gen, params, Path(args.results_path))
 
 
 def _generate_at_s2s(args):
@@ -427,29 +421,10 @@ def _generate_at_s2s(args):
         vocoder_params=vocoder_params, gcmvn=gcmvn,
         stop_threshold=args.stop_threshold)
 
-    out_dir = Path(args.results_path)
-    (out_dir / "feat").mkdir(parents=True, exist_ok=True)
-    hypos_file = (out_dir / "hypos.txt").open("w")
-    n = 0
-    for spec, idxs in it.batches_for_epoch(0):
-        batch = it.collate(spec, idxs)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
-        hypos = gen.generate(params, jb)
-        for i, local in enumerate(idxs):
-            utt_id = it.dataset.rows[local]["id"]
-            h = hypos[i]
-            hypos_file.write(
-                f"{utt_id}\t{task.tgt_dict.string(h['tokens'])}\n")
-            np.save(out_dir / "feat" / f"{utt_id}.npy",
-                    np.asarray(h["feature"]).T)
-            if "waveform" in h:
-                (out_dir / "wav").mkdir(exist_ok=True)
-                write_wav(out_dir / "wav" / f"{utt_id}_pred.wav",
-                          np.asarray(h["waveform"]))
-            n += 1
-    hypos_file.close()
-    print(json.dumps({"generated": n, "results": str(out_dir)}))
-    return 0
+    return _emit_feature_outputs(
+        it, gen, params, Path(args.results_path),
+        hypo_line=lambda utt_id, h:
+            f"{utt_id}\t{task.tgt_dict.string(h['tokens'])}\n")
 
 
 def _load_vocoder_and_gcmvn(args, task):

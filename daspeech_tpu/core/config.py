@@ -65,6 +65,9 @@ class DAGDecoderConfig:
     # Pallas fused attention (QK^T->mask->softmax->dropout->V in one VMEM
     # kernel, ops/fused_attention.py); TPU-only, auto-fallback elsewhere
     fused_attention: bool = True
+    # Pallas head-streaming link extraction (ops/fused_links.py); same
+    # TPU-only auto-fallback — the escape hatch for A/B and debugging
+    fused_links: bool = True
 
 
 @dataclass(frozen=True)

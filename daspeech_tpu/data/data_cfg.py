@@ -79,6 +79,13 @@ class S2TDataConfig:
         return self._abspath(path) if path else None
 
     @property
+    def speaker_set_filename(self) -> Optional[str]:
+        """Multi-speaker TTS speaker list, one name per line
+        (``fairseq data_cfg.py:56-58``); None = single-speaker."""
+        path = self.config.get("speaker_set_filename")
+        return self._abspath(path) if path else None
+
+    @property
     def vocoder(self) -> Dict[str, str]:
         return self._abspath(self.config.get("vocoder", {}))
 

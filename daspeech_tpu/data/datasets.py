@@ -335,6 +335,7 @@ class TTSItem:
     duration: np.ndarray       # [T]
     pitch: np.ndarray          # [T]
     energy: np.ndarray         # [T]
+    speaker: int = 0           # id via speaker_to_id (0 = single-speaker)
 
 
 class TextToSpeechDataset:
@@ -343,9 +344,14 @@ class TextToSpeechDataset:
     'tgt_text' the phoneme sequence; duration has a trailing 0 for EOS
     (``DATA_PREPARE.md`` TTS prep)."""
 
-    def __init__(self, rows: Sequence[Dict[str, str]], tgt_dict: Dictionary):
+    def __init__(self, rows: Sequence[Dict[str, str]], tgt_dict: Dictionary,
+                 speaker_to_id: Optional[Dict[str, int]] = None):
         self.rows = list(rows)
         self.tgt_dict = tgt_dict
+        # multi-speaker conditioning (``text_to_speech_dataset.py:135-139``):
+        # the TSV's 'speaker' column maps through speaker_to_id into the
+        # model's embed_speaker table; None = single-speaker (id 0)
+        self.speaker_to_id = speaker_to_id
 
     def __len__(self):
         return len(self.rows)
@@ -370,7 +376,10 @@ class TextToSpeechDataset:
                            np.float32)
         energy = np.asarray([float(x) for x in row["energy"].split()],
                             np.float32)
-        return TTSItem(row["id"], tokens, mel, dur, pitch, energy)
+        speaker = 0
+        if self.speaker_to_id is not None and row.get("speaker"):
+            speaker = self.speaker_to_id[row["speaker"]]
+        return TTSItem(row["id"], tokens, mel, dur, pitch, energy, speaker)
 
 
 def collate_tts(items: Sequence[TTSItem], pad: int, tok_cap: int,
@@ -388,12 +397,14 @@ def collate_tts(items: Sequence[TTSItem], pad: int, tok_cap: int,
     dur = np.zeros((B, tok_cap), np.int32)
     pitch = np.zeros((B, tok_cap), np.float32)
     energy = np.zeros((B, tok_cap), np.float32)
+    speaker = np.zeros((B,), np.int32)
     for b, it in enumerate(items):
         t = min(len(it.tokens), tok_cap)
         tokens[b, :t] = it.tokens[:t]
         m = min(len(it.mel), mel_cap)
         mel[b, :m] = it.mel[:m]
         mel_lengths[b] = m
+        speaker[b] = it.speaker
         for src, dst in ((it.duration, dur), (it.pitch, pitch),
                          (it.energy, energy)):
             n = min(len(src), tok_cap)
@@ -405,5 +416,6 @@ def collate_tts(items: Sequence[TTSItem], pad: int, tok_cap: int,
         "durations": dur,
         "pitches": pitch,
         "energies": energy,
+        "speaker": speaker,
         "sample_mask": (np.arange(B) < n_real).astype(np.float32),
     }

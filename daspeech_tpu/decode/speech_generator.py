@@ -44,10 +44,10 @@ class NonAutoregressiveSpeechGenerator:
                   (jnp.asarray(self.gcmvn.mean), jnp.asarray(self.gcmvn.std)))
 
         @jax.jit
-        def run(params, src_tokens):
+        def run(params, src_tokens, speaker):
             mel, mel_post, out_lens, _, _, _ = model.apply(
                 params, src_tokens=src_tokens, max_out_len=M,
-                d_factor=d_factor)
+                d_factor=d_factor, speaker=speaker)
             mel_final = mel_post if mel_post is not None else mel
             wav = None
             if voc is not None:
@@ -62,7 +62,10 @@ class NonAutoregressiveSpeechGenerator:
                  generate_waveform: bool = True) -> List[Dict]:
         if self._fn is None:
             self._fn = self._build()
-        mel, out_lens, wav = self._fn(params, batch["src_tokens"])
+        speaker = batch.get("speaker")
+        if speaker is None:
+            speaker = jnp.zeros((batch["src_tokens"].shape[0],), jnp.int32)
+        mel, out_lens, wav = self._fn(params, batch["src_tokens"], speaker)
         mel = np.asarray(mel)
         out_lens = np.asarray(out_lens)
         out = []

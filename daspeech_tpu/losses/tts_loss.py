@@ -40,6 +40,7 @@ def fastspeech2_criterion(
         pitches=batch["pitches"],
         energies=batch["energies"],
         train=train,
+        speaker=batch.get("speaker"),
         rngs={"dropout": rng},
     )
 

@@ -58,6 +58,7 @@ class GlatLinkDecoder(nn.Module):
     links_feature: str = "feature:position"
     max_transition_length: int = 99999
     fused_attention: bool = True    # Pallas fused MHA on TPU (layers.py)
+    fused_links: bool = True        # Pallas link extraction (fused_links.py)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -163,7 +164,8 @@ class GlatLinkDecoder(nn.Module):
 
         mtl = (self.max_transition_length
                if 0 < self.max_transition_length < L - 1 else None)
-        if _fa.available_spmd() and links_kernel_fits_vmem(L, self.embed_dim):
+        if (self.fused_links and _fa.available_spmd()
+                and links_kernel_fits_vmem(L, self.embed_dim)):
             # head-streaming Pallas kernel: the [B, L, L, H] f32 scores
             # never touch HBM (147 MB/pass at the recipe shape, walked
             # several times by the XLA path below). GSPMD-safe: its
@@ -318,7 +320,8 @@ class S2TConformerDAG(nn.Module):
             max_target_positions=d.max_target_positions,
             links_feature=d.links_feature,
             max_transition_length=d.max_transition_length,
-            fused_attention=d.fused_attention, dtype=self.dtype)
+            fused_attention=d.fused_attention,
+            fused_links=d.fused_links, dtype=self.dtype)
 
     def encode(self, fbank, src_lengths, train: bool = False):
         enc, enc_pad, enc_lens = self.encoder(fbank, src_lengths, train=train)

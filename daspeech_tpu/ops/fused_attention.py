@@ -616,8 +616,13 @@ def fused_attention_full_bias(q, k, v, bias4, seed,
                               sm_scale: float, dropout_p: float,
                               train: bool):
     """Like :func:`fused_attention` but with a full additive score bias
-    [B, H, Tq, Tk] that RECEIVES a gradient (the Conformer rel-pos path:
-    bias = bd/sqrt(d) + pad-mask)."""
+    [B, H, Tq, Tk] that RECEIVES a gradient.
+
+    KEPT ALTERNATE BACKEND, no production caller: it served the Conformer
+    rel-pos path (bias = bd/sqrt(d) + pad-mask) until the rotation-form
+    rewrite (``ops/fused_relpos.py``) removed the materialized bias
+    entirely. Retained, cross-checked by ``tests/test_fused_attention.py``,
+    for configs that need an arbitrary learned/ALiBi-style full bias."""
     out, _ = _fused_fb_fwd(q, k, v, bias4, seed, sm_scale, dropout_p, train)
     return out
 

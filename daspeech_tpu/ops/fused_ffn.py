@@ -186,10 +186,9 @@ def fused_ffn(x, gamma, beta, w1, b1, w2, b2, seed,
 
 
 def _norm_seeds(seed, B):
-    seeds = jnp.asarray(seed, jnp.int32)
-    if seeds.ndim == 0:
-        seeds = seeds + jnp.arange(B, dtype=jnp.int32)
-    return seeds
+    from daspeech_tpu.ops.fused_attention import _norm_seeds as impl
+
+    return impl(seed, B)
 
 
 def _specs(B, Tp, C, F, dtype):

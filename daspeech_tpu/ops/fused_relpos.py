@@ -364,10 +364,9 @@ def _bwd_spmd(sm_scale, dropout_p, train, num_heads):
 
 
 def _norm_seeds(seed, B):
-    seeds = jnp.asarray(seed, jnp.int32)
-    if seeds.ndim == 0:
-        seeds = seeds + jnp.arange(B, dtype=jnp.int32)
-    return seeds
+    from daspeech_tpu.ops.fused_attention import _norm_seeds as impl
+
+    return impl(seed, B)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))

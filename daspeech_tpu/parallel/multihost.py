@@ -67,6 +67,15 @@ def initialize_distributed(
     autodetect = (not explicit and num_processes is None
                   and _cluster_env_present())
     if not explicit and not autodetect:
+        if num_processes is not None or process_id is not None:
+            # a partial topology spec silently falling back to N
+            # independent single-process runs would be a data-parallel
+            # correctness bug, not a convenience
+            raise ValueError(
+                "--num-processes/--process-id (or DASPEECH_NUM_PROCESSES/"
+                "DASPEECH_PROCESS_ID) were given without --coordinator/"
+                "DASPEECH_COORDINATOR — refusing to start a silent "
+                "single-process run with a partial multi-host spec")
         return False              # plain single-process run
     if explicit and (num_processes is None or process_id is None):
         raise ValueError(

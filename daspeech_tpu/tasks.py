@@ -187,8 +187,21 @@ class TextToSpeechTask(NATSpeechToTextTask):
         from daspeech_tpu.data.datasets import TextToSpeechDataset
 
         rows = load_tsv(Path(self.cfg.data_dir) / f"{split}.tsv")
-        self.datasets[split] = TextToSpeechDataset(rows, self.tgt_dict)
+        self.datasets[split] = TextToSpeechDataset(
+            rows, self.tgt_dict, speaker_to_id=self.speaker_to_id())
         return self.datasets[split]
+
+    def speaker_to_id(self):
+        """Speaker table from the data config's ``speaker_set_filename``
+        (one name per line — ``text_to_speech.py:71-95``); None when the
+        config is single-speaker."""
+        path = (self.data_cfg.speaker_set_filename
+                if self.data_cfg is not None else None)
+        if not path:
+            return None
+        with open(path) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        return {name: i for i, name in enumerate(names)}
 
     def get_batch_iterator(self, split: str, max_sentences: int = 64,
                            seed: int = 1, **kw):

@@ -56,11 +56,16 @@ class FusedGradientTransformation(NamedTuple):
 def _fused_guarded_adam(params, opt_state, grads, gnorm, ok, *,
                         b1, b2, eps, wd, clip, sched):
     """Single-pass equivalent of
-    chain(clip_by_global_norm, scale_by_adam, add_decayed_weights,
+    chain([clip_by_global_norm,] scale_by_adam, [add_decayed_weights,]
     scale_by_learning_rate) + tree-wide where(ok) — bit-compatible with
     the optax chain (same op order: optax `transform.py::scale_by_adam`,
-    `clipping.py::clip_by_global_norm`)."""
-    empty1, adam_st, empty2, sched_st = opt_state
+    `clipping.py::clip_by_global_norm`).  The state layout matches the
+    chain actually built for the flags (no placeholder states), so
+    checkpoints from any earlier flag combination restore unchanged."""
+    state = list(opt_state)
+    adam_idx = 1 if clip is not None else 0
+    adam_st = state[adam_idx]
+    sched_st = state[-1]
 
     max_i32 = jnp.iinfo(jnp.int32).max
     safe_inc = lambda c: jnp.where(c == max_i32, c, c + 1)
@@ -93,16 +98,12 @@ def _fused_guarded_adam(params, opt_state, grads, gnorm, ok, *,
     new_params = jax.tree.map(lambda t: t[0], out, is_leaf=is3)
     new_mu = jax.tree.map(lambda t: t[1], out, is_leaf=is3)
     new_nu = jax.tree.map(lambda t: t[2], out, is_leaf=is3)
-    new_opt = (
-        empty1,
-        adam_st._replace(
-            count=jnp.where(ok, count_inc, adam_st.count),
-            mu=new_mu, nu=new_nu),
-        empty2,
-        sched_st._replace(
-            count=jnp.where(ok, safe_inc(sched_st.count), sched_st.count)),
-    )
-    return new_params, new_opt
+    state[adam_idx] = adam_st._replace(
+        count=jnp.where(ok, count_inc, adam_st.count),
+        mu=new_mu, nu=new_nu)
+    state[-1] = sched_st._replace(
+        count=jnp.where(ok, safe_inc(sched_st.count), sched_st.count))
+    return new_params, tuple(state)
 
 
 def make_optimizer(
@@ -123,13 +124,9 @@ def make_optimizer(
     has_clip = bool(clip_norm and clip_norm > 0)
     if has_clip:
         chain.append(optax.clip_by_global_norm(clip_norm))
-    else:
-        chain.append(optax.identity())
     chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=1e-8))
     if weight_decay and weight_decay > 0:
         chain.append(optax.add_decayed_weights(weight_decay))
-    else:
-        chain.append(optax.identity())
     chain.append(optax.scale_by_learning_rate(sched))
     tx = optax.chain(*chain)
     fused = functools.partial(
