@@ -43,6 +43,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-fused-attention", action="store_true")
+    ap.add_argument("--no-fused-links", action="store_true")
     args = ap.parse_args()
 
     from daspeech_tpu.core.config import DAGModelConfig, VocabConfig
@@ -59,6 +60,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, decoder=dataclasses.replace(cfg.decoder,
                                              fused_attention=False))
+    if args.no_fused_links:
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder,
+                                             fused_links=False))
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = S2TConformerDAG(cfg, dtype=dtype)
     B, S, L, T = 80, 480, 240, 64
