@@ -54,7 +54,14 @@ def available_spmd() -> bool:
     ``ops/fused_links.py``) are usable: TPU backend, ANY device count —
     their ``custom_partitioning`` rules shard batch dim 0, so the
     partitioner runs them per-shard instead of treating the pallas_call
-    as an unshardable opaque custom call."""
+    as an unshardable opaque custom call.
+
+    Tensor-parallel note: the rules replicate every non-batch dim, so
+    under a model axis GSPMD all-gathers the hidden dim and each shard
+    computes full attention — correct but redundant.  Head-sharded
+    kernel execution is deliberately NOT implemented: TP already exceeds
+    the reference (whose TP plumbing is dead code) and these models fit
+    on one chip many times over; DP is the production axis."""
     import jax
 
     return jax.default_backend() == "tpu"
