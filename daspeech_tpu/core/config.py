@@ -125,6 +125,10 @@ class FastSpeech2Config:
     postnet_conv_dim: int = 512
     postnet_conv_kernel_size: int = 5
     postnet_dropout: float = 0.5
+    # Pallas fused MHA for the FFT blocks (layers.py packed kernel);
+    # TPU-only with auto-fallback, and the kernel self-gates by VMEM fit
+    # (mel decoders at M>~1100 frames fall back to XLA automatically)
+    fused_attention: bool = True
     speaker_embed_dim: int = 64      # used only when num_speakers > 0
     num_speakers: int = 0            # 0 = single-speaker (no embedding)
     max_positions: int = 4096

@@ -57,6 +57,9 @@ class FFTLayer(nn.Module):
     kernel_size: int
     dropout: float
     attention_dropout: float
+    fused_attention: bool = True    # Pallas fused MHA on TPU (layers.py);
+    #                                 the mel decoder's [B, H, M, M] scores
+    #                                 are ~170 MB/layer at M=512 in XLA
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -64,6 +67,7 @@ class FFTLayer(nn.Module):
         residual = x
         x = MultiHeadAttention(
             self.embed_dim, self.num_heads, self.attention_dropout,
+            fused=self.fused_attention,
             dtype=self.dtype, name="self_attn",
         )(x, x, x, key_padding_mask=pad_mask, train=train)
         x = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x + residual)
@@ -261,6 +265,7 @@ class FastSpeech2Encoder(nn.Module):
             x = FFTLayer(
                 c.encoder_embed_dim, c.encoder_heads, c.fft_hidden_dim,
                 c.fft_kernel_size, c.dropout, c.attention_dropout,
+                fused_attention=c.fused_attention,
                 dtype=self.dtype, name=f"encoder_fft_{i}",
             )(x, enc_pad_mask, train=train)
 
@@ -301,6 +306,7 @@ class FastSpeech2Encoder(nn.Module):
             x = FFTLayer(
                 c.decoder_embed_dim, c.decoder_heads, c.fft_hidden_dim,
                 c.fft_kernel_size, c.dropout, c.attention_dropout,
+                fused_attention=c.fused_attention,
                 dtype=self.dtype, name=f"decoder_fft_{i}",
             )(x, dec_pad_mask, train=train)
 
