@@ -15,6 +15,21 @@ implementation (``DASpeech/custom_ops/__init__.py``):
                    state in VMEM. Currently NOT on any hot path: it ties or
                    loses to the XLA scan at recipe shapes (see COVERAGE.md
                    bench table); kept as a verified alternative backend.
+
+Attention-side Pallas kernels live in their own modules (all GSPMD
+batch-shardable unless noted, all with in-kernel PRNG dropout and
+interpret-mode tests + ``tools/verify_chip.py`` on-chip checks):
+
+- ``fused_attention`` : packed softmax(QK^T+bias)V MHA (production for the
+                        DAG decoder and FastSpeech2 FFT blocks); also a
+                        per-(b, h) variant and a full-bias variant, both
+                        single-device alternates.
+- ``fused_relpos``    : Conformer rel-pos attention via the rotation
+                        identity (production for long inputs, T' >= 256).
+- ``fused_links``     : head-streaming DAG link extraction (production).
+- ``fused_vocab``     : streaming vocab projection + logsumexp + gather.
+- ``fused_ffn``       : whole-FFN kernel — measured slower backward than
+                        XLA, kept as an alternate (single-device only).
 """
 
 from daspeech_tpu.ops.dag_banded import (
