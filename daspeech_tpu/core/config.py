@@ -127,7 +127,8 @@ class FastSpeech2Config:
     postnet_dropout: float = 0.5
     # Pallas fused MHA for the FFT blocks (layers.py packed kernel);
     # TPU-only with auto-fallback, and the kernel self-gates by VMEM fit
-    # (mel decoders at M>~1100 frames fall back to XLA automatically)
+    # (packed_fits_vmem crosses its 10 MB budget at M~800 frames for the
+    # 256d/4-head decoder — longer mels fall back to XLA automatically)
     fused_attention: bool = True
     speaker_embed_dim: int = 64      # used only when num_speakers > 0
     num_speakers: int = 0            # 0 = single-speaker (no embedding)

@@ -16,20 +16,26 @@ implementation (``DASpeech/custom_ops/__init__.py``):
                    loses to the XLA scan at recipe shapes (see COVERAGE.md
                    bench table); kept as a verified alternative backend.
 
-Attention-side Pallas kernels live in their own modules (all GSPMD
-batch-shardable unless noted, all with in-kernel PRNG dropout and
-interpret-mode tests + ``tools/verify_chip.py`` on-chip checks):
+Attention-side fused kernels live in their own modules:
 
-- ``fused_attention`` : packed softmax(QK^T+bias)V MHA (production for the
-                        DAG decoder and FastSpeech2 FFT blocks); also a
-                        per-(b, h) variant and a full-bias variant, both
-                        single-device alternates.
-- ``fused_relpos``    : Conformer rel-pos attention via the rotation
-                        identity (production for long inputs, T' >= 256).
-- ``fused_links``     : head-streaming DAG link extraction (production).
-- ``fused_vocab``     : streaming vocab projection + logsumexp + gather.
-- ``fused_ffn``       : whole-FFN kernel — measured slower backward than
-                        XLA, kept as an alternate (single-device only).
+- ``fused_attention`` : Pallas packed softmax(QK^T+bias)V MHA with
+                        in-kernel PRNG dropout, GSPMD batch-shardable
+                        (production for the DAG decoder and FastSpeech2
+                        FFT blocks; on-chip checks in
+                        ``tools/verify_chip.py``); also a per-(b, h)
+                        variant and a full-bias variant, single-device
+                        alternates covered by interpret-mode tests only.
+- ``fused_relpos``    : Pallas Conformer rel-pos attention via the
+                        rotation identity, GSPMD batch-shardable
+                        (production for long inputs, T' >= 256; on-chip
+                        checks in verify_chip).
+- ``fused_links``     : Pallas head-streaming DAG link extraction, GSPMD
+                        batch-shardable (production; on-chip checks).
+- ``fused_vocab``     : XLA (not Pallas) streaming vocab projection +
+                        logsumexp + gather with a recompute VJP.
+- ``fused_ffn``       : Pallas whole-FFN kernel — measured slower
+                        backward than XLA, kept as a single-device
+                        alternate (on-chip check in verify_chip).
 """
 
 from daspeech_tpu.ops.dag_banded import (

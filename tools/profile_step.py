@@ -5,6 +5,7 @@ carries ~1.2 ms of tunnel dispatch floor) plus the composed criterion and the
 full optimizer step, so COVERAGE.md's performance narrative stays honest.
 
 Usage:  python tools/profile_step.py [--fp32] [--no-fused-attention]
+        [--no-fused-links]
 """
 
 import argparse

@@ -34,14 +34,10 @@ def check(name, ok, detail=""):
 
 
 def mha_oracle(q, k, v, bias, sc, H):
-    B, Tq, C = q.shape
-    d = C // H
-    qh = q.reshape(B, Tq, H, d)
-    kh = k.reshape(B, -1, H, d)
-    vh = v.reshape(B, -1, H, d)
-    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * sc + bias[:, None, None, :]
-    p = jax.nn.softmax(s, -1)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, vh).reshape(B, Tq, C)
+    # the same canonical oracle the unit tests lock against
+    from daspeech_tpu.ops.fused_attention import mha_reference_packed
+
+    return mha_reference_packed(q, k, v, bias, sc, H)
 
 
 def verify_packed_attention():
@@ -126,9 +122,11 @@ def verify_fused_links():
     cfg_off = dataclasses.replace(
         cfg_on,
         decoder=dataclasses.replace(cfg_on.decoder, fused_links=False))
-    Bm, Sm, Lm = 2, 64, 24
+    # Lm > max graph length so <eos> placement and ragged lengths are
+    # exercised (graph_lengths(0.5 * [64, 48]) = [32, 24] < 40)
+    Bm, Sm, Lm = 2, 64, 40
     fbank = jnp.asarray(rng.normal(size=(Bm, Sm, 80)).astype(np.float32))
-    sl = jnp.full((Bm,), Sm, jnp.int32)
+    sl = jnp.asarray([Sm, Sm - 16], jnp.int32)
     prev = initialize_output_tokens(
         graph_lengths(sl, 0.5, 1024), Lm, cfg_on.vocab)
     m_on = S2TConformerDAG(cfg_on)
@@ -141,12 +139,22 @@ def verify_fused_links():
             return jnp.sum(jnp.where(jnp.isfinite(links), links, 0.0))
         return f
 
-    g_on = jax.jit(jax.grad(model_loss(m_on)))(params)
-    g_off = jax.jit(jax.grad(model_loss(m_off)))(params)
+    # f32 matmul precision isolates the kernel from XLA's default
+    # bf16-pass matmuls (which make the two differently-fused backward
+    # programs diverge ~1e-2 on their own); compare against the GLOBAL
+    # grad scale — per-leaf relatives explode on k-projection biases
+    # whose true gradient is ~0 (softmax per-query shift invariance)
+    with jax.default_matmul_precision("float32"):
+        g_on = jax.jit(jax.grad(model_loss(m_on)))(params)
+        g_off = jax.jit(jax.grad(model_loss(m_off)))(params)
+    gscale = max(float(jnp.max(jnp.abs(b)))
+                 for b in jax.tree.leaves(g_off))
     gerr = max(float(jnp.max(jnp.abs(a - b)))
-               for a, b in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)))
-    check("fused_links_grads_vs_xla_model_path", gerr < 1e-2,
-          f"max param-grad diff {gerr:.2e}")
+               for a, b in zip(jax.tree.leaves(g_on),
+                               jax.tree.leaves(g_off))) / (gscale + 1e-9)
+    check("fused_links_grads_vs_xla_model_path", gerr < 5e-3,
+          f"max param-grad diff {gerr:.2e} of global grad scale "
+          "(f32 matmul precision)")
 
 
 def verify_relpos():
@@ -224,6 +232,13 @@ def main():
     if jax.default_backend() != "tpu":
         print(json.dumps({"check": "backend", "pass": False,
                           "detail": "not on TPU"}))
+        return 1
+    if jax.device_count() != 1:
+        # the single-device-gated kernels (fused_ffn, per-(b,h) attention)
+        # would silently take their XLA fallbacks and compare XLA to XLA
+        print(json.dumps({"check": "single_device", "pass": False,
+                          "detail": f"{jax.device_count()} devices — "
+                                    "gated kernels would not execute"}))
         return 1
     verify_packed_attention()
     verify_fused_links()
