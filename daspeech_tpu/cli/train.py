@@ -140,6 +140,13 @@ def parse_args(argv=None):
                         "autodetected clusters (TPU pod, SLURM)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-shard params + Adam moments over the data "
+                        "axis (the reference's --ddp-backend=fully_sharded) "
+                        "instead of replicating them on every device")
+    p.add_argument("--min-fsdp-size", type=int, default=2 ** 12,
+                   help="leaves under N elements stay replicated under "
+                        "--fsdp (fairseq's --min-params-to-wrap)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 5-15 to DIR")
     p.add_argument("--tensorboard-logdir", default=None,
@@ -390,10 +397,16 @@ def main(argv=None):
         global_data_mesh, host_local_batch_to_global, process_batch_slice)
 
     mesh = global_data_mesh("data")
-    step_fn = jit_data_parallel(
-        make_train_step(loss_fn, tx, accum_steps=args.update_freq), mesh,
-        batch_dim=1 if args.update_freq > 1 else 0)
     batch_dim = 1 if args.update_freq > 1 else 0
+    raw_step = make_train_step(loss_fn, tx, accum_steps=args.update_freq)
+    if args.fsdp:
+        from daspeech_tpu.parallel import jit_sharded
+
+        step_fn = jit_sharded(raw_step, mesh, state, batch_dim=batch_dim,
+                              fsdp_axis="data",
+                              min_fsdp_size=args.min_fsdp_size)
+    else:
+        step_fn = jit_data_parallel(raw_step, mesh, batch_dim=batch_dim)
 
     def to_device(batch):
         """Single-host: plain device arrays (sharded inside the jit).

@@ -1,4 +1,5 @@
 from daspeech_tpu.parallel.partition import (
+    fsdp_partition_spec,
     jit_sharded,
     jit_sharded_infer,
     make_mesh,
@@ -8,6 +9,7 @@ from daspeech_tpu.parallel.partition import (
 )
 
 __all__ = [
+    "fsdp_partition_spec",
     "jit_sharded",
     "jit_sharded_infer",
     "make_mesh",

@@ -16,6 +16,13 @@ Sharding annotations never change semantics — a step jitted over any mesh
 computes the same numbers (up to float reassociation) as a single device,
 which is what ``tests/test_parallel.py`` asserts on the 8-device CPU mesh.
 
+ZeRO/FSDP is one more annotation: ``fsdp_partition_spec`` shards each large
+parameter (and, via suffix matching, its Adam moments) over the data axis,
+and GSPMD emits the per-layer all-gather + grad reduce-scatter that fairseq's
+``fully_sharded_data_parallel.py:23-130`` implements with fairscale wrapper
+modules and flattened buffers. It composes with the Megatron rules: a TP
+leaf gets its remaining dim ZeRO-sharded.
+
 No pipeline/expert axes: the reference uses neither on this path (its
 torchpipe/MoE code is dead on DASpeech — SURVEY.md section 2d), the models
 are far too small to need PP (<100M params fits one v5e chip dozens of times
@@ -88,10 +95,51 @@ def param_partition_spec(path: str, leaf, model_axis: str = "model",
     return P()
 
 
-def tree_shardings(tree, mesh: Mesh, model_axis: str = "model"):
+def fsdp_partition_spec(leaf, base: P, fsdp_axis: str, mesh: Mesh,
+                        min_size: int = 2 ** 12) -> P:
+    """ZeRO-style augmentation of a (possibly tensor-parallel) spec.
+
+    Shards the largest still-unsharded dim of ``leaf`` over ``fsdp_axis``
+    when it divides evenly, so parameters AND their optax mu/nu moments live
+    split across the data axis — the reference's selectable
+    ``--ddp-backend=fully_sharded`` (fairseq
+    ``distributed/fully_sharded_data_parallel.py:23-130``, fairscale ZeRO-3)
+    expressed as annotations only: XLA GSPMD inserts the per-layer
+    all-gather on use and reduce-scatters the grads, replacing FSDP's
+    wrapper modules, flattened buffers, and hand-rolled collectives.
+
+    Leaves smaller than ``min_size`` elements stay as-is (fairseq's
+    ``--min-params-to-wrap`` cutoff): gathering a bias costs more latency
+    than replicating it ever saves.
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if ndim == 0 or int(np.prod(shape)) < min_size:
+        return base
+    size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(fsdp_axis, 1)
+    if size <= 1:
+        return base
+    dims = list(tuple(base) + (None,) * (ndim - len(tuple(base))))
+    free = [d for d in range(ndim)
+            if dims[d] is None and shape[d] % size == 0]
+    if not free:
+        return base
+    dims[max(free, key=lambda d: shape[d])] = fsdp_axis
+    return P(*dims)
+
+
+def tree_shardings(tree, mesh: Mesh, model_axis: str = "model",
+                   fsdp_axis: Optional[str] = None,
+                   min_fsdp_size: int = 2 ** 12):
     """NamedShardings for a param-like pytree (params, grads, or the full
-    TrainState whose optax mu/nu subtrees repeat the param paths)."""
-    if model_axis not in mesh.axis_names:
+    TrainState whose optax mu/nu subtrees repeat the param paths).
+
+    ``fsdp_axis`` additionally ZeRO-shards every large leaf over that mesh
+    axis (usually ``"data"``) on top of the Megatron rules.
+    """
+    tp = model_axis in mesh.axis_names
+    fsdp = fsdp_axis is not None and fsdp_axis in mesh.axis_names
+    if not tp and not fsdp:
         return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
@@ -99,15 +147,20 @@ def tree_shardings(tree, mesh: Mesh, model_axis: str = "model"):
     for path, leaf in flat:
         p = "/".join(str(getattr(k, "key", getattr(k, "name", k)))
                      for k in path)
-        out.append(NamedSharding(
-            mesh, param_partition_spec(p, leaf, model_axis, mesh)))
+        spec = param_partition_spec(p, leaf, model_axis, mesh) if tp else P()
+        if fsdp:
+            spec = fsdp_partition_spec(leaf, spec, fsdp_axis, mesh,
+                                       min_fsdp_size)
+        out.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def state_shardings(state, mesh: Mesh, model_axis: str = "model"):
+def state_shardings(state, mesh: Mesh, model_axis: str = "model",
+                    fsdp_axis: Optional[str] = None,
+                    min_fsdp_size: int = 2 ** 12):
     """Shardings for a TrainState: step replicated, params/opt-state by the
     partition rules (suffix matching reaches through mu/nu wrappers)."""
-    return tree_shardings(state, mesh, model_axis)
+    return tree_shardings(state, mesh, model_axis, fsdp_axis, min_fsdp_size)
 
 
 def make_mesh(n_devices: int,
@@ -160,14 +213,17 @@ def jit_sharded_infer(fn, mesh: Mesh, params, data_axis: str = "data",
 def jit_sharded(step_fn, mesh: Mesh, state, data_axis: str = "data",
                 seq_axis: Optional[str] = None,
                 model_axis: str = "model", batch_dim: int = 0,
-                donate: bool = True):
+                donate: bool = True, fsdp_axis: Optional[str] = None,
+                min_fsdp_size: int = 2 ** 12):
     """jit a ``(state, batch, rng) -> (state, metrics)`` step over a
     multi-axis mesh: TrainState sharded by the Megatron rules, batch split
     over ``data`` (+frames over ``seq``), metrics replicated. The pure-DP
     special case (mesh with only a data axis) degenerates to
-    ``train.jit_data_parallel`` semantics.
+    ``train.jit_data_parallel`` semantics; ``fsdp_axis="data"`` turns it
+    into ZeRO-3 (params + Adam moments sharded over the data axis too).
     """
-    st_sh = state_shardings(state, mesh, model_axis)
+    st_sh = state_shardings(state, mesh, model_axis, fsdp_axis,
+                            min_fsdp_size)
     replicated = NamedSharding(mesh, P())
 
     def wrapped(state, batch, rng):

@@ -121,6 +121,36 @@ class TestTrainCLI:
         assert losses and all(np.isfinite(losses))
 
 
+    def test_fsdp_training(self, tmp_path, capsys):
+        """--fsdp trains with finite loss on the multi-device CPU mesh
+        (ZeRO-sharded params + Adam moments; the reference's
+        --ddp-backend=fully_sharded)."""
+        import jax
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        rng = np.random.default_rng(9)
+        write_corpus(tmp_path, rng, s2s=False, n=6)
+        (tmp_path / "model.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        rc = train_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--criterion", "nat_dag_loss",
+            "--model-yaml", str(tmp_path / "model.yaml"),
+            "--save-dir", str(tmp_path / "ckpt"),
+            "--max-update", "2", "--max-tokens", "2000",
+            "--warmup-updates", "2", "--log-interval", "1",
+            "--valid-subset", "missing",
+            "--fsdp", "--min-fsdp-size", "64",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        recs = [json.loads(line) for line in out]
+        losses = [r["loss"] for r in recs if "loss" in r]
+        assert losses and all(np.isfinite(losses))
+
+
 class TestTTSCLI:
     def test_fastspeech2_pretraining(self, tmp_path, capsys):
         """Stage-2 recipe: --task text_to_speech --criterion fastspeech2."""
