@@ -92,6 +92,15 @@ def parse_args(argv=None):
                    help="NAT length beam: decode N graph sizes around "
                         "lambda*src_len, keep the best mean-logprob "
                         "candidate (s2t_nat_generator.py:59-76)")
+    p.add_argument("--reranker-dir", default=None,
+                   help="orbax checkpoint dir of a trained AR "
+                        "s2s_multidecoder model whose first pass reranks "
+                        "the --length-beam candidates by teacher-forced "
+                        "mean logprob (the reference's last-ensemble-"
+                        "checkpoint reranker, s2t_nat_generator.py:34-41)")
+    p.add_argument("--reranker-yaml", default=None,
+                   help="MultiDecoderConfig YAML for --reranker-dir "
+                        "(default config when omitted)")
     p.add_argument("--iter-decode-max-iter", type=int, default=0,
                    help="iterative refinement: feed decoded tokens back "
                         "as the next graph input for up to N extra "
@@ -482,8 +491,47 @@ def _load_vocoder_and_gcmvn(args, task):
     return vocoder, vocoder_params, gcmvn
 
 
+def _load_reranker(args, vocab):
+    """Build + restore the AR reranker model for --length-beam reranking
+    (an ``S2SMultiDecoderModel`` whose Conformer + causal text decoder is
+    the in-repo AR speech-to-text family; the reference passes the
+    reranker as the last checkpoint of the decode ensemble,
+    ``s2t_nat_generator.py:34-41``)."""
+    if not args.reranker_dir:
+        return None, None
+    import yaml
+
+    from daspeech_tpu.core.config import (
+        MultiDecoderConfig, from_dict, to_dict)
+    from daspeech_tpu.models.s2s_multidecoder import S2SMultiDecoderModel
+
+    cfg = MultiDecoderConfig()
+    if args.reranker_yaml:
+        cfg = from_dict(MultiDecoderConfig,
+                        yaml.safe_load(Path(args.reranker_yaml).read_text()))
+    model = S2SMultiDecoderModel(
+        vocab_size=vocab.size, pad=vocab.pad, bos=vocab.bos, eos=vocab.eos,
+        **to_dict(cfg))
+    variables = jax.eval_shape(
+        lambda key: model.init(
+            key, jnp.zeros((1, 16, 80)), jnp.asarray([16]),
+            jnp.full((1, 4), vocab.pad, jnp.int32),
+            jnp.zeros((1, 4, cfg.out_dim))),
+        jax.random.key(0))
+    state_like = jax.eval_shape(
+        lambda v: TrainState.create(v, make_optimizer()), variables)
+    state = CheckpointManager(args.reranker_dir).restore(state_like)
+    if state is None:
+        raise SystemExit(f"no reranker checkpoint in {args.reranker_dir}")
+    rparams = {"params": state.params}
+    if state.batch_stats:
+        rparams["batch_stats"] = state.batch_stats
+    return model, rparams
+
+
 def _generate_with(args, task, model, params, it, is_s2s):
     vocoder, vocoder_params, gcmvn = _load_vocoder_and_gcmvn(args, task)
+    reranker, reranker_params = _load_reranker(args, task.vocab)
 
     decode_cfg = DecodeConfig(
         strategy=args.decode_strategy, beta=args.decode_beta,
@@ -496,9 +544,13 @@ def _generate_with(args, task, model, params, it, is_s2s):
                                    max_mel_len=args.max_mel_len,
                                    vocoder=vocoder,
                                    vocoder_params=vocoder_params,
-                                   gcmvn=gcmvn)
+                                   gcmvn=gcmvn,
+                                   reranker=reranker,
+                                   reranker_params=reranker_params)
     else:
-        gen = task.build_generator(model, decode_cfg)
+        gen = task.build_generator(model, decode_cfg,
+                                   reranker=reranker,
+                                   reranker_params=reranker_params)
 
     out_dir = Path(args.results_path)
     (out_dir / "feat").mkdir(parents=True, exist_ok=True)

@@ -55,8 +55,40 @@ def _strategy_decode(cfg: DecodeConfig, vocab, logits, links, prev):
     raise NotImplementedError(cfg.strategy)
 
 
+def rerank_scores(reranker, rparams, fbank, src_lengths, tokens, pad, eos,
+                  beam):
+    """Length-beam candidate scores under an external AR reranker model
+    (``iterative_refinement_generator.py:313-359``, reached from
+    ``s2t_nat_generator.py:212-216`` where the LAST ensemble checkpoint is
+    the reranker): candidate position 0 is overwritten with EOS (fairseq AR
+    decoders start from EOS), the reranker decoder is teacher-forced on
+    ``candidate[:-1]``, and the score is the pad-masked MEAN logprob of
+    ``candidate[1:]`` — which then REPLACES the decode score before the
+    beam argmax. ``tokens`` is [B*beam, L] pad-filled; the reranker
+    encoder runs once at [B] and its output is tiled beam-wise.
+
+    The reranker follows the ``S2SMultiDecoderModel`` protocol
+    (``forward_encoder(fbank, src_lengths)`` + ``mt_decode(prev, enc,
+    enc_pad)``) — the in-repo AR speech-to-text family.
+    """
+    enc, enc_pad = reranker.apply(rparams, fbank, src_lengths,
+                                  method=reranker.forward_encoder)
+    enc = jnp.repeat(enc, beam, axis=0)
+    enc_pad = jnp.repeat(enc_pad, beam, axis=0)
+    cand = tokens.at[:, 0].set(eos)
+    logits, _ = reranker.apply(rparams, cand[:, :-1], enc, enc_pad,
+                               method=reranker.mt_decode)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = cand[:, 1:]
+    sc = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    mask = tgt != pad
+    return (jnp.sum(jnp.where(mask, sc, 0.0), axis=1)
+            / jnp.maximum(jnp.sum(mask, axis=1), 1))
+
+
 def dag_forward_decode(model, params, fbank, src_lengths, prev, vocab,
-                       cfg: DecodeConfig):
+                       cfg: DecodeConfig, reranker=None,
+                       reranker_params=None):
     """Encoder -> (length-beam expanded) decoder -> decode strategy.
 
     ``cfg.length_beam > 1`` implements the NAT length beam
@@ -66,8 +98,11 @@ def dag_forward_decode(model, params, fbank, src_lengths, prev, vocab,
     ``length_beam`` graph sizes around lambda*src_len are decoded and the
     candidate with the best mean per-token logprob survives — the
     reference's no-reranker selection ``argmax(score)``
-    (``s2t_nat_generator.py:217-230``). Returns (DecodeResult, features),
-    both at the original batch size.
+    (``s2t_nat_generator.py:217-230``). Passing ``reranker`` (+ its
+    params) replaces that score with an AR model's teacher-forced mean
+    logprob per candidate (``rerank_scores``) before the argmax — the
+    reference's ``--iter-decode-with-external-reranker``. Returns
+    (DecodeResult, features), both at the original batch size.
     """
     from daspeech_tpu.models import initialize_output_tokens
 
@@ -92,11 +127,17 @@ def dag_forward_decode(model, params, fbank, src_lengths, prev, vocab,
         params, prev, enc, enc_pad, method=model.decode)
     res = _strategy_decode(cfg, vocab, logits, links, prev)
     if beam > 1:
-        logp_max = jnp.max(
-            jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), axis=-1)
-        sc = path_score(
-            logp_max, res,
-            include_start=cfg.strategy in ("lookahead", "greedy"))
+        if reranker is not None:
+            sc = rerank_scores(reranker, reranker_params, fbank,
+                               src_lengths, res.tokens, vocab.pad,
+                               vocab.eos, beam)
+        else:
+            logp_max = jnp.max(
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                axis=-1)
+            sc = path_score(
+                logp_max, res,
+                include_start=cfg.strategy in ("lookahead", "greedy"))
         best = jnp.argmax(sc.reshape(-1, beam), axis=1)
         rows = jnp.arange(best.shape[0]) * beam + best
         res = DecodeResult(*(x[rows] for x in res))
@@ -108,19 +149,24 @@ class S2TNATGenerator:
     """DAG decoding to target tokens, optionally with iterative refinement
     (``S2TNATGenerator``, ``s2t_nat_generator.py:50-230``)."""
 
-    def __init__(self, model, vocab, decode_cfg: DecodeConfig):
+    def __init__(self, model, vocab, decode_cfg: DecodeConfig,
+                 reranker=None, reranker_params=None):
         self.model = model
         self.vocab = vocab
         self.cfg = decode_cfg
+        self.reranker = reranker
+        self.reranker_params = reranker_params
         self._jitted = {}
 
     def _decode_fn(self):
         cfg, vocab, model = self.cfg, self.vocab, self.model
+        reranker = self.reranker
 
         @jax.jit
-        def run(params, fbank, src_lengths, prev):
+        def run(params, rparams, fbank, src_lengths, prev):
             return dag_forward_decode(
-                model, params, fbank, src_lengths, prev, vocab, cfg)
+                model, params, fbank, src_lengths, prev, vocab, cfg,
+                reranker=reranker, reranker_params=rparams)
 
         return run
 
@@ -137,7 +183,7 @@ class S2TNATGenerator:
         accepted output (the decoder is deterministic in eval mode).
         """
         run = self._jitted["decode"]
-        res, _ = run(params, fbank, src_lengths, prev)
+        res, _ = run(params, self.reranker_params, fbank, src_lengths, prev)
         max_iter = int(self.cfg.iter_decode_max_iter)
         adaptive = not self.cfg.iter_decode_force_max_iter
         accepted = [np.asarray(x) for x in res]
@@ -146,7 +192,7 @@ class S2TNATGenerator:
         terminated = np.zeros((B,), bool)
         for _ in range(max_iter):
             cur_input = accepted[0]            # previous pass's tokens
-            res2, _ = run(params, fbank, src_lengths,
+            res2, _ = run(params, self.reranker_params, fbank, src_lengths,
                           jnp.asarray(cur_input))
             new = [np.asarray(x) for x in res2]
             if adaptive:
@@ -173,8 +219,8 @@ class S2TNATGenerator:
                 batch["prev_output_tokens"])
         else:
             res, _ = self._jitted["decode"](
-                params, batch["fbank"], batch["src_lengths"],
-                batch["prev_output_tokens"])
+                params, self.reranker_params, batch["fbank"],
+                batch["src_lengths"], batch["prev_output_tokens"])
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         out = []
@@ -190,8 +236,10 @@ class S2SNATGenerator(S2TNATGenerator):
 
     def __init__(self, model, vocab, decode_cfg: DecodeConfig,
                  max_mel_len: int = 1024, vocoder=None,
-                 vocoder_params=None, gcmvn=None, d_factor: float = 1.0):
-        super().__init__(model, vocab, decode_cfg)
+                 vocoder_params=None, gcmvn=None, d_factor: float = 1.0,
+                 reranker=None, reranker_params=None):
+        super().__init__(model, vocab, decode_cfg, reranker=reranker,
+                         reranker_params=reranker_params)
         self.max_mel_len = max_mel_len
         self.vocoder = vocoder
         self.vocoder_params = vocoder_params
@@ -217,11 +265,13 @@ class S2SNATGenerator(S2TNATGenerator):
         # (``s2s_nat_generator.py:242-285`` denormalizes then get_waveform)
         gstats = (None if self.gcmvn is None else
                   (jnp.asarray(self.gcmvn.mean), jnp.asarray(self.gcmvn.std)))
+        reranker = self.reranker
 
         @jax.jit
-        def run(params, fbank, src_lengths, prev):
+        def run(params, rparams, fbank, src_lengths, prev):
             res, feats = dag_forward_decode(
-                model, params, fbank, src_lengths, prev, vocab, cfg)
+                model, params, fbank, src_lengths, prev, vocab, cfg,
+                reranker=reranker, reranker_params=rparams)
             z, zmask = gather_path_features(feats, res, skip_first=skip_first)
             mel, mel_post, mel_lens, _, _, _ = model.apply(
                 params, z, zmask, M, method=model.synthesize,
@@ -254,7 +304,8 @@ class S2SNATGenerator(S2TNATGenerator):
                 params, batch["fbank"], batch["src_lengths"], prev)
             prev = jnp.asarray(prev)
         res, mel, mel_lens, wav = self._jitted["s2s"](
-            params, batch["fbank"], batch["src_lengths"], prev)
+            params, self.reranker_params, batch["fbank"],
+            batch["src_lengths"], prev)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         mel = np.asarray(mel)

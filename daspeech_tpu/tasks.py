@@ -153,8 +153,11 @@ class NATSpeechToTextTask:
                              max_graph=self.cfg.max_target_positions,
                              for_s2s=self.for_s2s)
 
-    def build_generator(self, model, decode_cfg: DecodeConfig):
-        return S2TNATGenerator(model, self.vocab, decode_cfg)
+    def build_generator(self, model, decode_cfg: DecodeConfig,
+                        reranker=None, reranker_params=None):
+        return S2TNATGenerator(model, self.vocab, decode_cfg,
+                               reranker=reranker,
+                               reranker_params=reranker_params)
 
     def inject_noise(self, rng, target):
         return inject_noise(rng, target, self.vocab, self.cfg.noise)
@@ -170,10 +173,12 @@ class NATSpeechToSpeechTask(NATSpeechToTextTask):
 
     def build_generator(self, model, decode_cfg: DecodeConfig,
                         max_mel_len: int = 1024, vocoder=None,
-                        vocoder_params=None, gcmvn=None):
+                        vocoder_params=None, gcmvn=None,
+                        reranker=None, reranker_params=None):
         return S2SNATGenerator(
             model, self.vocab, decode_cfg, max_mel_len=max_mel_len,
-            vocoder=vocoder, vocoder_params=vocoder_params, gcmvn=gcmvn)
+            vocoder=vocoder, vocoder_params=vocoder_params, gcmvn=gcmvn,
+            reranker=reranker, reranker_params=reranker_params)
 
 
 class TextToSpeechTask(NATSpeechToTextTask):

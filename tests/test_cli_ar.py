@@ -132,3 +132,53 @@ class TestATS2SCLI:
         hyp_lines = (tmp_path / "results" / "hypos.txt"
                      ).read_text().strip().splitlines()
         assert len(hyp_lines) == 8
+
+
+class TestRerankCLI:
+    def test_length_beam_with_ar_reranker(self, tmp_path, capsys):
+        """Train a DAG (stage 1) and an AR multidecoder on the same corpus,
+        then decode the DAG with --length-beam 3 reranked by the AR model
+        (the reference's last-ensemble-checkpoint reranker)."""
+        rng = np.random.default_rng(23)
+        write_corpus(tmp_path, rng, s2s=True)
+        from test_cli import TINY_MODEL
+
+        (tmp_path / "dag.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+        (tmp_path / "mdec.yaml").write_text(yaml.safe_dump(TINY_MDEC))
+
+        from daspeech_tpu.cli.train import main as train_main
+
+        common = ["--max-tokens", "512", "--num-buckets", "1",
+                  "--warmup-updates", "2", "--log-interval", "1",
+                  "--max-source-positions", "100",
+                  "--max-target-positions", "16",
+                  "--valid-subset", "missing", "--max-update", "1"]
+        rc = train_main([str(tmp_path), "--task", "nat_speech_to_text",
+                         "--criterion", "nat_dag_loss",
+                         "--model-yaml", str(tmp_path / "dag.yaml"),
+                         "--save-dir", str(tmp_path / "dag_ckpt")] + common)
+        assert rc == 0
+        rc = train_main([str(tmp_path), "--task", "nat_speech_to_speech",
+                         "--criterion", "s2s_multidecoder",
+                         "--model-yaml", str(tmp_path / "mdec.yaml"),
+                         "--save-dir", str(tmp_path / "mdec_ckpt")] + common)
+        assert rc == 0
+        capsys.readouterr()
+
+        from daspeech_tpu.cli.generate import main as gen_main
+
+        rc = gen_main([
+            str(tmp_path), "--task", "nat_speech_to_text",
+            "--checkpoint-dir", str(tmp_path / "dag_ckpt"),
+            "--model-yaml", str(tmp_path / "dag.yaml"),
+            "--gen-subset", "test", "--max-tokens", "512",
+            "--length-beam", "3",
+            "--reranker-dir", str(tmp_path / "mdec_ckpt"),
+            "--reranker-yaml", str(tmp_path / "mdec.yaml"),
+            "--results-path", str(tmp_path / "results"),
+        ])
+        assert rc == 0
+        capsys.readouterr()
+        hypos = (tmp_path / "results" / "hypos.txt"
+                 ).read_text().strip().splitlines()
+        assert len(hypos) == 8

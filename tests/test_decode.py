@@ -302,7 +302,7 @@ class TestIterativeRefinement:
             decode_cfg=DecodeConfig(iter_decode_max_iter=5))
         calls = []
 
-        def fake_run(params, fbank, src_lengths, prev):
+        def fake_run(params, rparams, fbank, src_lengths, prev):
             prev = np.asarray(prev)
             calls.append(prev.copy())
             toks = np.stack([
@@ -341,7 +341,7 @@ class TestIterativeRefinement:
                                     iter_decode_force_max_iter=True))
         n = [0]
 
-        def fake_run(params, fbank, src_lengths, prev):
+        def fake_run(params, rparams, fbank, src_lengths, prev):
             n[0] += 1
             toks = np.full((1, 4), n[0], np.int32)
             lens = np.full((1,), 4, np.int32)
@@ -386,6 +386,113 @@ class TestIterativeRefinement:
         for h in hypos:
             assert h["tokens"].ndim == 1 and h["tokens"].size >= 1
             assert (h["tokens"] != cfg.vocab.pad).all()
+
+
+class TestLengthBeamRerank:
+    """AR-model reranking of length-beam candidates
+    (``iterative_refinement_generator.py:313-359`` reached from
+    ``s2t_nat_generator.py:212-216``)."""
+
+    def _setup(self):
+        from test_models import tiny_dag_cfg
+        from testutils import fast_init
+
+        from daspeech_tpu.models import (
+            S2TConformerDAG, graph_lengths, initialize_output_tokens)
+        from daspeech_tpu.models.s2s_multidecoder import S2SMultiDecoderModel
+
+        cfg = tiny_dag_cfg()
+        model = S2TConformerDAG(cfg)
+        rng = np.random.default_rng(17)
+        B, S, L = 2, 25, 16
+        fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))
+        src_lengths = jnp.asarray([25, 19], jnp.int32)
+        prev = initialize_output_tokens(
+            graph_lengths(src_lengths, 0.5, 64), L, cfg.vocab)
+        params = fast_init(model, jax.random.key(0), fbank, src_lengths,
+                           prev)
+        rer = S2SMultiDecoderModel(
+            vocab_size=cfg.vocab.size, pad=cfg.vocab.pad, bos=cfg.vocab.bos,
+            eos=cfg.vocab.eos, encoder_embed_dim=16, encoder_layers=1,
+            mt_embed_dim=16, mt_layers=1, ffn_dim=32, conv_channels=16)
+
+        def fwd(m):
+            enc, ep = m.forward_encoder(fbank, src_lengths)
+            return m.mt_decode(prev, enc, ep)
+
+        rparams = rer.init(jax.random.key(1), method=fwd)
+        return cfg, model, params, rer, rparams, fbank, src_lengths, prev, L
+
+    def test_rerank_selects_ar_best_and_matches_oracle(self):
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.generator import (
+            _strategy_decode, dag_forward_decode, rerank_scores)
+        from daspeech_tpu.models import initialize_output_tokens
+
+        (cfg, model, params, rer, rparams, fbank, src_lengths, prev,
+         L) = self._setup()
+        beam = 3
+        dcfg = DecodeConfig(strategy="lookahead", length_beam=beam)
+        res, _ = jax.jit(lambda p, rp, f, s, pr: dag_forward_decode(
+            model, p, f, s, pr, cfg.vocab, dcfg, reranker=rer,
+            reranker_params=rp))(params, rparams, fbank, src_lengths, prev)
+
+        # oracle: replay the expansion + decode, then pick the candidate
+        # the reranker scores highest
+        enc, enc_pad, _ = model.apply(params, fbank, src_lengths,
+                                      method=model.encode)
+        glen = jnp.sum(prev != cfg.vocab.pad, axis=1)
+        offs = jnp.arange(beam, dtype=glen.dtype) - beam // 2
+        glen_b = jnp.clip((glen[:, None] + offs[None, :]).reshape(-1), 2, L)
+        prev_b = initialize_output_tokens(glen_b, L, cfg.vocab)
+        logits, links, _ = model.apply(
+            params, prev_b, jnp.repeat(enc, beam, axis=0),
+            jnp.repeat(enc_pad, beam, axis=0), method=model.decode)
+        cand = _strategy_decode(dcfg, cfg.vocab, logits, links, prev_b)
+        sc = np.asarray(rerank_scores(
+            rer, rparams, fbank, src_lengths, cand.tokens, cfg.vocab.pad,
+            cfg.vocab.eos, beam))
+        rows = np.arange(2) * beam + np.argmax(sc.reshape(2, beam), axis=1)
+        np.testing.assert_array_equal(np.asarray(res.tokens),
+                                      np.asarray(cand.tokens)[rows])
+        np.testing.assert_array_equal(np.asarray(res.lengths),
+                                      np.asarray(cand.lengths)[rows])
+
+        # unit: rerank_scores == numpy teacher-forced mean logprob with
+        # candidate[0] := EOS (the reference's exact formula)
+        enc2, ep2 = rer.apply(rparams, fbank, src_lengths,
+                              method=rer.forward_encoder)
+        candt = np.asarray(cand.tokens).copy()
+        candt[:, 0] = cfg.vocab.eos
+        logits2, _ = rer.apply(
+            rparams, jnp.asarray(candt[:, :-1]),
+            jnp.repeat(enc2, beam, axis=0), jnp.repeat(ep2, beam, axis=0),
+            method=rer.mt_decode)
+        lp = np.asarray(logits2, np.float32)
+        lp = lp - np.log(np.sum(np.exp(lp - lp.max(-1, keepdims=True)),
+                                -1, keepdims=True)) - lp.max(-1, keepdims=True)
+        tgt = candt[:, 1:]
+        picked = np.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        m = tgt != cfg.vocab.pad
+        oracle = (picked * m).sum(1) / np.maximum(m.sum(1), 1)
+        np.testing.assert_allclose(sc, oracle, rtol=1e-4, atol=1e-5)
+
+    def test_generator_carries_reranker(self):
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.generator import S2TNATGenerator
+
+        (cfg, model, params, rer, rparams, fbank, src_lengths, prev,
+         L) = self._setup()
+        gen = S2TNATGenerator(
+            model, cfg.vocab,
+            DecodeConfig(strategy="lookahead", length_beam=3),
+            reranker=rer, reranker_params=rparams)
+        hypos = gen.generate(params, {
+            "fbank": fbank, "src_lengths": src_lengths,
+            "prev_output_tokens": prev})
+        assert len(hypos) == 2
+        for h in hypos:
+            assert h["tokens"].ndim == 1 and h["tokens"].size >= 1
 
 
 pytestmark = pytest.mark.slow
