@@ -151,6 +151,20 @@ class S2TNATGenerator:
 
     def __init__(self, model, vocab, decode_cfg: DecodeConfig,
                  reranker=None, reranker_params=None):
+        if (decode_cfg.length_beam > 1
+                and decode_cfg.iter_decode_max_iter > 0):
+            # the reference refines ALL B*beam candidates and reduces the
+            # beam after the loop (iterative_refinement_generator.py);
+            # here the beam reduces inside each decode pass, so feeding the
+            # winner back would re-initialize its graph from length alone
+            # and silently discard the fed-back token identities. Every
+            # recipe pins iter_decode_max_iter=0; refuse the combination
+            # rather than diverge silently.
+            raise ValueError(
+                "length_beam > 1 cannot be combined with "
+                "iter_decode_max_iter > 0: the length beam reduces inside "
+                "each pass, so refinement would not see the fed-back "
+                "tokens. Use one or the other.")
         self.model = model
         self.vocab = vocab
         self.cfg = decode_cfg

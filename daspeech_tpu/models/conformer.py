@@ -64,6 +64,11 @@ def rel_positional_encoding(seq_len: int, dim: int, dtype=jnp.float32):
     """Symmetric +/-T sinusoids, [1, 2*seq_len-1, dim]; index 0 is relative
     position +(seq_len-1), the center is 0, the end is -(seq_len-1).
     Mirrors ``RelPositionalEncoding`` (``positional_encoding.py:66-128``).
+
+    The production attention no longer consumes this table — the rotation
+    form rebuilds the same frequencies as ``ops/fused_relpos.relpos_basis``
+    — but it stays as the reference oracle for the rotation-identity test
+    (``tests/test_fused_relpos.py::TestRotationIdentity``).
     """
     position = jnp.arange(seq_len, dtype=jnp.float32)[:, None]
     div_term = jnp.exp(jnp.arange(0, dim, 2, dtype=jnp.float32)
@@ -116,8 +121,6 @@ class RelPosMultiHeadAttention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,                     # [B, T, C]
-        pos_emb: jnp.ndarray,               # [1, 2T-1, C] (unused: the
-        #                                     basis is rebuilt from T, C)
         key_padding_mask: Optional[jnp.ndarray] = None,  # [B, T] True=pad
         train: bool = False,
     ) -> jnp.ndarray:
@@ -374,7 +377,6 @@ class ConformerEncoderLayer(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        pos_emb: jnp.ndarray,
         pad_mask: Optional[jnp.ndarray],
         train: bool = False,
     ) -> jnp.ndarray:
@@ -387,7 +389,7 @@ class ConformerEncoderLayer(nn.Module):
         y = RelPosMultiHeadAttention(
             self.embed_dim, self.num_heads, self.attn_dropout,
             fused=self.fused_attention, dtype=self.dtype, name="self_attn",
-        )(y, pos_emb, key_padding_mask=pad_mask, train=train)
+        )(y, key_padding_mask=pad_mask, train=train)
         y = Dropout(self.dropout, deterministic=not train)(y)
         x = residual + y
 
@@ -435,7 +437,6 @@ class ConformerEncoder(nn.Module):
 
         scale = 1.0 if self.no_scale_embedding else math.sqrt(self.embed_dim)
         x = x * scale
-        pos_emb = rel_positional_encoding(T, self.embed_dim, dtype=self.dtype)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear")(x)
         x = Dropout(self.dropout, deterministic=not train)(x)
 
@@ -445,7 +446,7 @@ class ConformerEncoder(nn.Module):
                 self.depthwise_kernel_size, self.attn_dropout,
                 fused_attention=self.fused_attention,
                 dtype=self.dtype, name=f"layers_{i}",
-            )(x, pos_emb, pad_mask, train=train)
+            )(x, pad_mask, train=train)
 
         # zero out padded frames so downstream cross-attention averages and
         # matmuls cannot leak padding garbage

@@ -61,8 +61,12 @@ def initialize_distributed(
     if process_id is None and os.environ.get(ENV_PROCESS_ID):
         process_id = int(os.environ[ENV_PROCESS_ID])
 
-    if jax.process_count() > 1:
-        return True               # already initialized (e.g. by the runner)
+    # NOTE: must not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize() — any backend query initializes XLA and
+    # makes the later initialize() raise. is_initialized() is the one
+    # runtime probe that is safe here.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1   # runner already joined the mesh
     explicit = coordinator is not None
     autodetect = (not explicit and num_processes is None
                   and _cluster_env_present())

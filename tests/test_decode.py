@@ -477,6 +477,16 @@ class TestLengthBeamRerank:
         oracle = (picked * m).sum(1) / np.maximum(m.sum(1), 1)
         np.testing.assert_allclose(sc, oracle, rtol=1e-4, atol=1e-5)
 
+    def test_length_beam_refuses_iterative_refinement(self):
+        from daspeech_tpu.core.config import DecodeConfig
+        from daspeech_tpu.decode.generator import S2TNATGenerator
+
+        with pytest.raises(ValueError, match="length_beam"):
+            S2TNATGenerator(
+                None, None,
+                DecodeConfig(strategy="lookahead", length_beam=3,
+                             iter_decode_max_iter=2))
+
     def test_generator_carries_reranker(self):
         from daspeech_tpu.core.config import DecodeConfig
         from daspeech_tpu.decode.generator import S2TNATGenerator

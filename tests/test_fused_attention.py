@@ -212,17 +212,15 @@ class TestFusedAttentionFullBias:
     def test_relpos_module_fused_falls_back_off_tpu(self):
         """RelPosMultiHeadAttention(fused=True) on the CPU backend equals
         the XLA path bit for bit."""
-        from daspeech_tpu.models.conformer import (
-            RelPosMultiHeadAttention, rel_positional_encoding)
+        from daspeech_tpu.models.conformer import RelPosMultiHeadAttention
 
         rng = np.random.default_rng(4)
         B, T, C = 2, 7, 16
         x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
-        pos = rel_positional_encoding(T, C)
         kpm = jnp.zeros((B, T), bool).at[1, -2:].set(True)
         m1 = RelPosMultiHeadAttention(C, 2, 0.0, fused=True)
         m2 = RelPosMultiHeadAttention(C, 2, 0.0, fused=False)
-        p = m1.init(jax.random.key(0), x, pos, key_padding_mask=kpm)
-        o1 = m1.apply(p, x, pos, key_padding_mask=kpm)
-        o2 = m2.apply(p, x, pos, key_padding_mask=kpm)
+        p = m1.init(jax.random.key(0), x, key_padding_mask=kpm)
+        o1 = m1.apply(p, x, key_padding_mask=kpm)
+        o2 = m2.apply(p, x, key_padding_mask=kpm)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))

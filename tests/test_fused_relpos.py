@@ -94,17 +94,16 @@ class TestFusedRelPos:
         B, T, C, H = 2, 12, 24, 3
         rng = np.random.default_rng(5)
         x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
-        pos = rel_positional_encoding(T, C)
         mask = np.zeros((B, T), bool)
         mask[-1, -4:] = True
         mask = jnp.asarray(mask)
         m_xla = RelPosMultiHeadAttention(C, H, 0.0, fused=False)
         m_fus = RelPosMultiHeadAttention(C, H, 0.0, fused=True)
-        variables = m_xla.init({"params": jax.random.PRNGKey(0)}, x, pos,
+        variables = m_xla.init({"params": jax.random.PRNGKey(0)}, x,
                                key_padding_mask=mask, train=False)
-        o1 = m_xla.apply(variables, x, pos, key_padding_mask=mask,
+        o1 = m_xla.apply(variables, x, key_padding_mask=mask,
                          train=False)
-        o2 = m_fus.apply(variables, x, pos, key_padding_mask=mask,
+        o2 = m_fus.apply(variables, x, key_padding_mask=mask,
                          train=False)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    rtol=1e-5, atol=1e-5)

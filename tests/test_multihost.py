@@ -47,6 +47,28 @@ class TestInitializeResolution:
                               num_processes=4, process_id=2,
                               local_device_ids=[0])]
 
+    def test_no_backend_query_before_initialize(self, monkeypatch):
+        """Regression: querying jax.process_count()/jax.devices() BEFORE
+        jax.distributed.initialize() initializes the XLA backend and makes
+        the real rendezvous raise RuntimeError — the already-joined probe
+        must be jax.distributed.is_initialized() only."""
+        order = []
+        monkeypatch.setattr(jax.distributed, "is_initialized",
+                            lambda: order.append("probe") or False)
+        monkeypatch.setattr(jax.distributed, "initialize",
+                            lambda **kw: order.append("init"))
+
+        def backend_touch(*a, **kw):
+            if "init" not in order:
+                raise AssertionError(
+                    "backend query before jax.distributed.initialize()")
+            return 1
+
+        monkeypatch.setattr(jax, "process_count", backend_touch)
+        monkeypatch.setattr(jax, "devices", backend_touch)
+        mh.initialize_distributed("10.0.0.1:1234", 2, 0)
+        assert order[: 2] == ["probe", "init"]
+
     def test_env_fallback(self, monkeypatch):
         calls = []
         monkeypatch.setattr(jax.distributed, "initialize",

@@ -191,19 +191,17 @@ class TestConformerParity:
             want, _ = ref(xt, torch.from_numpy(pad_mask_np), pos)
         want = want.transpose(0, 1).numpy()
 
-        from daspeech_tpu.models.conformer import (
-            ConformerEncoderLayer as Ours, rel_positional_encoding)
+        from daspeech_tpu.models.conformer import ConformerEncoderLayer as Ours
         from daspeech_tpu.train.torch_import import import_conformer_layer
 
         imported = import_conformer_layer(
             {k: v for k, v in ref.state_dict().items()}, "")
         ours = Ours(embed_dim=D, ffn_dim=FFN, num_heads=H, dropout=0.0,
                     depthwise_kernel_size=K, attn_dropout=0.0)
-        pos_ours = rel_positional_encoding(T, D)
         got = np.asarray(ours.apply(
             {"params": imported["params"],
              "batch_stats": imported["batch_stats"]},
-            jnp.asarray(x), pos_ours, jnp.asarray(pad_mask_np)))
+            jnp.asarray(x), jnp.asarray(pad_mask_np)))
 
         # our conv module masks padded frames (deliberate improvement), so
         # the reference's conv leaks padding into the last (K-1)/2 valid

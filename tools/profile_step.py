@@ -10,7 +10,6 @@ Usage:  python tools/profile_step.py [--fp32] [--no-fused-attention]
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
@@ -24,20 +23,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, ".")
 
 
-def sync(out):
-    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-    x = leaves[-1]
-    np.asarray(jax.device_get(x.ravel()[:1] if x.ndim else x))
+# one timing implementation for every tool: bench.timeit's forced
+# device->host sync and best-of-3 jitter filter (the remote-TPU tunnel adds
+# run-to-run noise that a single-rep mean keeps)
+from bench import sync, timeit as _bench_timeit  # noqa: E402
 
 
 def timeit(fn, *args, n=20):
-    out = fn(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / n * 1e3
+    return _bench_timeit(fn, *args, n=n) * 1e3
 
 
 def main():

@@ -2,7 +2,6 @@
 forward alone) for op-level analysis. Writes to /tmp/trace_step/."""
 
 import sys
-import time
 
 import numpy as np
 
@@ -16,10 +15,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, ".")
 
 
-def sync(out):
-    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "dtype")]
-    x = leaves[-1]
-    np.asarray(jax.device_get(x.ravel()[:1] if x.ndim else x))
+from bench import sync  # noqa: E402  (one forced-sync implementation)
 
 
 def main():
