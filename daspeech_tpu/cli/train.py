@@ -152,6 +152,10 @@ def parse_args(argv=None):
     p.add_argument("--tensorboard-logdir", default=None,
                    help="also mirror progress stats to TensorBoard "
                         "(``logging/progress_bar.py`` tensorboard backend)")
+    p.add_argument("--wandb-project", default=None,
+                   help="also mirror progress stats to Weights & Biases "
+                        "(``logging/progress_bar.py`` wandb backend; "
+                        "requires the optional wandb package)")
     p.add_argument("--rng-impl", default="rbg",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="PRNG for dropout/GLAT keys; rbg uses the TPU "
@@ -427,6 +431,11 @@ def main(argv=None):
         from daspeech_tpu.train.metrics import TensorboardSink
 
         sinks.append(TensorboardSink(args.tensorboard_logdir))
+    if args.wandb_project:
+        from daspeech_tpu.train.metrics import WandBSink
+
+        sinks.append(WandBSink(args.wandb_project,
+                               run_name=Path(args.save_dir).name))
     logger = JsonProgressLogger(log_interval=args.log_interval, sinks=sinks)
     agg = MetricsAggregator()
     # rbg: the TPU-native counter PRNG for dropout keys. threefry mask

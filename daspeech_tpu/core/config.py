@@ -132,6 +132,9 @@ class FastSpeech2Config:
     fused_attention: bool = True
     speaker_embed_dim: int = 64      # used only when num_speakers > 0
     num_speakers: int = 0            # 0 = single-speaker (no embedding)
+    # optional CTC auxiliary (``fastspeech2.py:401-416``): mel frames ->
+    # source phonemes via a ctc_proj head; 0.0 (all recipes) disables it
+    ctc_weight: float = 0.0
     max_positions: int = 4096
     mel_mult: int = 8                # padded mel buckets: multiple of this
 

@@ -32,7 +32,8 @@ def fastspeech2_criterion(
     M = mel_tgt.shape[1]
 
     variables = {"params": params["params"]}
-    mel, mel_post, out_lens, log_dur, pitch_out, energy_out = model.apply(
+    ctc_weight = float(getattr(model.cfg, "ctc_weight", 0.0))
+    out = model.apply(
         variables,
         src_tokens=tokens,
         max_out_len=M,
@@ -42,7 +43,12 @@ def fastspeech2_criterion(
         train=train,
         speaker=batch.get("speaker"),
         rngs={"dropout": rng},
+        mutable=["intermediates"] if ctc_weight > 0.0 else False,
     )
+    if ctc_weight > 0.0:
+        (mel, mel_post, out_lens, log_dur, pitch_out, energy_out), mut = out
+    else:
+        mel, mel_post, out_lens, log_dur, pitch_out, energy_out = out
 
     src_mask = tokens != vocab.pad
     mel_mask = ~lengths_to_padding_mask(batch["target_audio_lengths"], M)
@@ -54,8 +60,43 @@ def fastspeech2_criterion(
         mel, mel_post, log_dur, pitch_out, energy_out,
         mel_tgt, batch["durations"], batch["pitches"], batch["energies"],
         src_mask, mel_mask)
+    if ctc_weight > 0.0:
+        ctc = ctc_weight * fastspeech2_ctc_loss(
+            mut["intermediates"]["ctc_logits"][0], mel_mask, tokens, src_mask)
+        metrics["ctc-loss"] = ctc
+        loss = loss + ctc
     metrics["loss"] = loss
     return loss, {"metrics": metrics, "batch_stats": None}
+
+
+def fastspeech2_ctc_loss(
+    ctc_logits: jnp.ndarray,   # [B, M, V] pre-postnet mel frames -> vocab
+    mel_mask: jnp.ndarray,     # [B, M] True = valid frame (CTC input axis)
+    src_tokens: jnp.ndarray,   # [B, T] phoneme labels (CTC target axis)
+    src_mask: jnp.ndarray,     # [B, T] True = valid label
+) -> jnp.ndarray:
+    """The optional CTC term of ``FastSpeech2Loss``
+    (``fastspeech2_loss.py:70-88``): ``F.ctc_loss(lprobs, src_tokens,
+    input_lengths=tgt_lens, target_lengths=src_lens, reduction='mean')``
+    with blank=0 (the dictionary's ``<s>``). torch's 'mean' divides each
+    sentence by its label length, then averages over the batch — replicated
+    here on top of optax's per-example sum.
+    """
+    import optax
+
+    per_ex = optax.ctc_loss(
+        ctc_logits.astype(jnp.float32),
+        1.0 - mel_mask.astype(jnp.float32),
+        src_tokens.astype(jnp.int32),
+        1.0 - src_mask.astype(jnp.float32),
+        blank_id=0)                                          # [B]
+    label_lens = jnp.sum(src_mask.astype(jnp.float32), axis=1)
+    real = jnp.any(src_mask, axis=1)   # sample_mask zeroes filler rows fully
+    # zero_infinity=True: infeasible (frames < labels) sentences contribute 0
+    per_ex = jnp.where(jnp.isfinite(per_ex) & real,
+                       per_ex / jnp.maximum(label_lens, 1.0), 0.0)
+    return jnp.sum(per_ex) / jnp.maximum(
+        jnp.sum(real.astype(jnp.float32)), 1.0)
 
 
 def tts_transformer_criterion(

@@ -313,6 +313,15 @@ class FastSpeech2Encoder(nn.Module):
         out_dim = c.output_frame_dim * c.n_frames_per_step
         x = nn.Dense(out_dim, dtype=self.dtype, name="out_proj")(x)
 
+        if c.ctc_weight > 0.0 and self.vocab_size > 0:
+            # CTC auxiliary head (``fastspeech2.py:401-416``): project the
+            # pre-postnet mel frames to the source vocabulary; exposed via
+            # sow so the 6-tuple return stays stable (criterion applies
+            # with mutable=["intermediates"] when ctc_weight > 0)
+            self.sow("intermediates", "ctc_logits",
+                     nn.Dense(self.vocab_size, dtype=self.dtype,
+                              name="ctc_proj")(x))
+
         x_post = None
         if c.add_postnet:
             x_post = x + Postnet(

@@ -137,6 +137,35 @@ class TensorboardSink:
         self._w.close()
 
 
+class WandBSink:
+    """Weights & Biases progress sink (``logging/progress_bar.py``'s
+    ``WandBProgressBarWrapper``). Import-gated: raises ImportError with a
+    clear message when the ``wandb`` package is absent, mirroring the
+    reference's lazy optional backend. Same ``(stats, step, tag)`` call
+    protocol as :class:`TensorboardSink`."""
+
+    def __init__(self, project: str, run_name: str = None):
+        try:
+            import wandb
+        except ImportError as e:
+            raise ImportError(
+                "WandBSink requires the `wandb` package "
+                "(pip install wandb)") from e
+        self._wandb = wandb
+        # reinit=False matches the reference: one run per process
+        self._run = wandb.init(project=project, name=run_name, reinit=False)
+
+    def __call__(self, stats: Dict[str, Any], step: int, tag: str):
+        payload = {
+            f"{tag}/{k}": v for k, v in stats.items()
+            if isinstance(v, (int, float)) and k not in ("epoch", "update")}
+        if payload:
+            self._wandb.log(payload, step=step)
+
+    def close(self):
+        self._run.finish()
+
+
 @contextlib.contextmanager
 def aggregate():
     agg = MetricsAggregator()
