@@ -204,7 +204,8 @@ def main():
     rtf_x = audio_seconds / dt
     results.append({"metric": "e2e_s2st_rtf_x_realtime",
                     "value": round(rtf_x, 2), "unit": "x_realtime",
-                    "vs_baseline": round(rtf_x / 10.0, 3)})
+                    "vs_baseline": round(rtf_x / 10.0, 3),
+                    "utt_per_sec_chip": round(B / dt, 1)})
 
     for r in results:
         print(json.dumps(r))
