@@ -679,6 +679,10 @@ def main(argv=None):
 
     try:
         loop()
+        ckpt.save(state, update)
+        wall = time.perf_counter() - t_start
+        logger.print({"done": True, "wall_s": round(wall, 1),
+                      **flush_metrics()}, update, epoch)
     except Exception:
         # crash checkpoint (``trainer.py:869-874`` crash.pt equivalent)
         try:
@@ -688,10 +692,14 @@ def main(argv=None):
         except Exception:
             pass
         raise
-    ckpt.save(state, update)
-    wall = time.perf_counter() - t_start
-    logger.print({"done": True, "wall_s": round(wall, 1),
-                  **flush_metrics()}, update, epoch)
+    finally:
+        # flush+close the metric sinks even on abnormal exit (W&B's atexit
+        # flush is best-effort only; TB buffers events until close)
+        for s in sinks:
+            try:
+                s.close()
+            except Exception:
+                pass
     return 0
 
 

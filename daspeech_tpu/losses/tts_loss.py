@@ -92,8 +92,17 @@ def fastspeech2_ctc_loss(
         blank_id=0)                                          # [B]
     label_lens = jnp.sum(src_mask.astype(jnp.float32), axis=1)
     real = jnp.any(src_mask, axis=1)   # sample_mask zeroes filler rows fully
-    # zero_infinity=True: infeasible (frames < labels) sentences contribute 0
-    per_ex = jnp.where(jnp.isfinite(per_ex) & real,
+    # zero_infinity=True: infeasible sentences contribute 0. optax clamps
+    # impossible alignments at log_epsilon=-1e5 and returns a large FINITE
+    # loss, so isfinite() can't detect them — test feasibility directly:
+    # a CTC alignment exists iff input_len >= label_len + #adjacent-repeats
+    # (each repeated label needs a separating blank).
+    in_lens = jnp.sum(mel_mask.astype(jnp.float32), axis=1)
+    adj_rep = jnp.sum(
+        ((src_tokens[:, 1:] == src_tokens[:, :-1])
+         & src_mask[:, 1:] & src_mask[:, :-1]).astype(jnp.float32), axis=1)
+    feasible = in_lens >= label_lens + adj_rep
+    per_ex = jnp.where(feasible & real & jnp.isfinite(per_ex),
                        per_ex / jnp.maximum(label_lens, 1.0), 0.0)
     return jnp.sum(per_ex) / jnp.maximum(
         jnp.sum(real.astype(jnp.float32)), 1.0)

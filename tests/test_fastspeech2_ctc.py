@@ -48,17 +48,55 @@ class TestCTCOracle:
         assert got == pytest.approx(want, rel=2e-4, abs=2e-5)
 
     def test_infeasible_sentence_zeroed(self):
-        """zero_infinity=True: more labels than frames contributes 0."""
+        """zero_infinity=True: more labels than frames contributes 0.
+
+        The infeasible row must contribute exactly 0 (optax clamps the
+        impossible alignment at log_epsilon and returns ~1e5 FINITE, so a
+        mere isfinite check would pass even when the row leaks in)."""
         rng = np.random.default_rng(3)
         logits, mel_mask, labels, src_mask, in_lens, lab_lens = \
             _rand_case(rng, B=3, M=8, V=9, T=4)
-        mel_mask[0, 2:] = False            # 2 frames, >=1 label -> may still
-        src_mask[0, :] = True              # be infeasible: 4 labels > 2
-        labels[0] = [4, 5, 4, 6]           # repeats need blanks: infeasible
+        mel_mask[0, 2:] = False            # 2 frames, 4 labels: infeasible
+        src_mask[0, :] = True
+        labels[0] = [4, 5, 4, 6]
+        in_lens[0], lab_lens[0] = 2, 4
         got = float(fastspeech2_ctc_loss(
             jnp.asarray(logits), jnp.asarray(mel_mask),
             jnp.asarray(labels), jnp.asarray(src_mask)))
-        assert np.isfinite(got)
+        # torch oracle with zero_infinity=True zeroes the row but still
+        # divides by B=3 — the jax emulation must match it exactly
+        want = _torch_ctc_mean(logits, in_lens, labels, lab_lens)
+        assert got == pytest.approx(want, rel=2e-4, abs=2e-5)
+        # and equal the mean computed with the infeasible row zeroed by hand
+        feas = float(fastspeech2_ctc_loss(
+            jnp.asarray(logits[1:]), jnp.asarray(mel_mask[1:]),
+            jnp.asarray(labels[1:]), jnp.asarray(src_mask[1:])))
+        assert got == pytest.approx(feas * 2 / 3, rel=1e-5)
+        assert got < 0.5e5
+
+    def test_adjacent_repeat_feasibility(self):
+        """label_len == input_len but adjacent repeats need blanks: the
+        row is infeasible and must contribute 0 (torch oracle agrees)."""
+        rng = np.random.default_rng(7)
+        logits, mel_mask, labels, src_mask, in_lens, lab_lens = \
+            _rand_case(rng, B=2, M=8, V=9, T=4)
+        mel_mask[0, 4:] = False            # 4 frames, 4 labels, one repeat
+        src_mask[0, :] = True              # -> needs 5 frames: infeasible
+        labels[0] = [4, 4, 5, 6]
+        in_lens[0], lab_lens[0] = 4, 4
+        got = float(fastspeech2_ctc_loss(
+            jnp.asarray(logits), jnp.asarray(mel_mask),
+            jnp.asarray(labels), jnp.asarray(src_mask)))
+        want = _torch_ctc_mean(logits, in_lens, labels, lab_lens)
+        assert got == pytest.approx(want, rel=2e-4, abs=2e-5)
+        # exactly-enough frames (4 frames, 4 distinct labels) stays counted
+        labels[0] = [4, 5, 4, 6]
+        got2 = float(fastspeech2_ctc_loss(
+            jnp.asarray(logits), jnp.asarray(mel_mask),
+            jnp.asarray(labels), jnp.asarray(src_mask)))
+        want2 = _torch_ctc_mean(logits, in_lens, labels, lab_lens)
+        assert got2 == pytest.approx(want2, rel=2e-4, abs=2e-5)
+        assert got2 > got
 
     def test_filler_rows_drop_out(self):
         rng = np.random.default_rng(4)
