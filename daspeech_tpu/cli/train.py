@@ -671,9 +671,12 @@ def main(argv=None):
                                     {"valid_mcd": round(mcd, 3)},
                                     update, epoch, tag="valid")
                 if need_save:
+                    # async: serialization overlaps the next steps; the loop
+                    # only stalls if the write outlives the save interval
                     ckpt.save(state, update, metric=metric,
                               extra={"epoch": epoch,
-                                     "batch_idx": batch_idx + 1})
+                                     "batch_idx": batch_idx + 1},
+                              blocking=False)
                 if done:
                     return
 
@@ -693,6 +696,11 @@ def main(argv=None):
             pass
         raise
     finally:
+        # make any in-flight async checkpoint durable before exiting
+        try:
+            ckpt.wait_until_finished()
+        except Exception:
+            pass
         # flush+close the metric sinks even on abnormal exit (W&B's atexit
         # flush is best-effort only; TB buffers events until close)
         for s in sinks:

@@ -35,17 +35,35 @@ class CheckpointManager:
         return self.dir / f"checkpoint_{step}"
 
     def save(self, state, step: int, extra: Optional[Dict[str, Any]] = None,
-             metric: Optional[float] = None) -> Path:
+             metric: Optional[float] = None, blocking: bool = True) -> Path:
+        """Save a checkpoint.
+
+        ``blocking=False`` returns as soon as the device arrays are copied
+        to host; serialization to disk proceeds on orbax's background
+        thread (the reference saves asynchronously via iopath,
+        ``fairseq/fairseq_cli/train.py:76-84``). The step loop then only
+        stalls if a save is still in flight at the NEXT save point. Use
+        ``blocking=True`` (default) for final/crash saves that must be
+        durable before the process exits.
+        """
         path = self._path(step)
+        # one write in flight at a time: block on the previous save first
+        # (AsyncCheckpointer refuses overlapping saves)
+        self._ckptr.wait_until_finished()
         if path.exists():
             shutil.rmtree(path)
         self._ckptr.save(path.resolve(), state)
-        self._ckptr.wait_until_finished()
+        if blocking:
+            self._ckptr.wait_until_finished()
         meta = {"step": step, "metric": metric, **(extra or {})}
         (self.dir / f"checkpoint_{step}.json").write_text(json.dumps(meta))
         self._prune()
         self._update_best(step, metric)
         return path
+
+    def wait_until_finished(self):
+        """Block until any in-flight async save has committed."""
+        self._ckptr.wait_until_finished()
 
     def _prune(self):
         steps = self.all_steps()
@@ -74,15 +92,24 @@ class CheckpointManager:
         return None
 
     def all_steps(self) -> List[int]:
-        return sorted(
-            int(p.name.split("_")[1]) for p in self.dir.glob("checkpoint_*")
-            if p.is_dir())
+        # only committed checkpoints: orbax writes async saves to a sibling
+        # "checkpoint_N.orbax-checkpoint-tmp-<ts>" dir and renames on commit,
+        # so non-integer suffixes (in-flight/abandoned tmp dirs) are skipped
+        out = []
+        for p in self.dir.glob("checkpoint_*"):
+            suffix = p.name.split("_", 1)[1]
+            if p.is_dir() and suffix.isdigit():
+                out.append(int(suffix))
+        return sorted(out)
 
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
         return steps[-1] if steps else None
 
     def restore(self, state_like=None, step: Optional[int] = None):
+        # an async save may still be committing — wait so latest_step() and
+        # the restore itself see a complete checkpoint
+        self._ckptr.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None

@@ -37,6 +37,40 @@ class TestManager:
         got = m.restore(make_state(0))
         assert float(got["params"]["w"][0]) == 7.0
 
+    def test_async_save_then_restore_exact(self, tmp_path):
+        """Non-blocking save: restore waits for the in-flight write and
+        returns the exact state (``fairseq_cli/train.py:76-84`` async-save
+        analogue)."""
+        m = CheckpointManager(tmp_path)
+        st = {"params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+              "step": np.asarray(9, np.int32)}
+        m.save(st, 9, blocking=False)
+        got = m.restore({"params": {"w": np.zeros((3, 4), np.float32)},
+                         "step": np.asarray(0, np.int32)})
+        np.testing.assert_array_equal(got["params"]["w"], st["params"]["w"])
+        assert int(got["step"]) == 9
+
+    def test_async_saves_serialize(self, tmp_path):
+        """Back-to-back non-blocking saves: the second waits for the first
+        (AsyncCheckpointer refuses overlap); both restore exactly."""
+        m = CheckpointManager(tmp_path, keep_last=5)
+        for step in (1, 2, 3):
+            m.save(make_state(step), step, blocking=False)
+        m.wait_until_finished()
+        assert m.all_steps() == [1, 2, 3]
+        for step in (1, 2, 3):
+            got = m.restore(make_state(0), step=step)
+            assert float(got["params"]["w"][0]) == float(step)
+
+    def test_all_steps_skips_orbax_tmp_dirs(self, tmp_path):
+        """In-flight/abandoned orbax tmp dirs must not be listed as
+        checkpoints (they are not restorable)."""
+        m = CheckpointManager(tmp_path)
+        m.save(make_state(4), 4)
+        (tmp_path / "checkpoint_7.orbax-checkpoint-tmp-123").mkdir()
+        assert m.all_steps() == [4]
+        assert m.latest_step() == 4
+
     def test_average_checkpoints(self, tmp_path):
         m = CheckpointManager(tmp_path, keep_last=10)
         for step in (1, 2, 3):
