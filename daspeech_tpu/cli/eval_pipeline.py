@@ -44,11 +44,18 @@ def parse_args(argv=None):
                    help="target language: picks the per-language ASR model "
                         "and BLEU tokenizer (asr_model_cfgs.json table)")
     p.add_argument("--skip-asr", action="store_true")
+    p.add_argument("--compilation-cache-dir", default=None,
+                   help="persist XLA executables here across runs (default "
+                        "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
+                        "xla; pass '' to disable)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from daspeech_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
     out_dir = Path(args.results_path)
 
     # stages 1-3: averaged-checkpoint decode + vocoding via the generate CLI

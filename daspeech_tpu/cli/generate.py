@@ -129,11 +129,18 @@ def parse_args(argv=None):
     p.add_argument("--average-last-n", type=int, default=0,
                    help="average the last N checkpoints before decoding "
                         "(scripts/average_checkpoints.py equivalent)")
+    p.add_argument("--compilation-cache-dir", default=None,
+                   help="persist XLA executables here across runs (default "
+                        "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
+                        "xla; pass '' to disable)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from daspeech_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
     if args.generator_type == "at_tts":
         return _generate_ar_tts(args)
     if args.generator_type == "at_s2s":

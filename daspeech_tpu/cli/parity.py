@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--gcmvn-stats", default=None)
     p.add_argument("--target-lang", default="en")
     p.add_argument("--skip-asr", action="store_true")
+    p.add_argument("--compilation-cache-dir", default=None,
+                   help="persist XLA executables here across runs (default "
+                        "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
+                        "xla; pass '' to disable)")
     return p.parse_args(argv)
 
 
@@ -152,6 +156,9 @@ def asr_bleu_for(root: Path, refs_by_id, lang: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    from daspeech_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
     out_dir = Path(args.results_path)
 
     if not args.skip_generate:

@@ -167,6 +167,11 @@ def parse_args(argv=None):
                         "always runs fp32 — replaces the reference's fp16 "
                         "optimizer + DynamicLossScaler, which bf16 does not "
                         "need)")
+    p.add_argument("--compilation-cache-dir", default=None,
+                   help="persist XLA executables here so reruns and new "
+                        "bucket shapes skip the cold compile (default "
+                        "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
+                        "xla; pass '' to disable)")
     return p.parse_args(argv)
 
 
@@ -206,6 +211,9 @@ def build_model_cfg(args, vocab):
 
 def main(argv=None):
     args = parse_args(argv)
+    from daspeech_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
     # multi-host rendezvous BEFORE any device query (distributed/utils.py:
     # 273-347 equivalent); no-op on plain single-process runs
     from daspeech_tpu.parallel.multihost import initialize_distributed

@@ -52,11 +52,18 @@ def parse_args(argv=None):
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--save-interval-updates", type=int, default=5000)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--compilation-cache-dir", default=None,
+                   help="persist XLA executables here across runs (default "
+                        "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
+                        "xla; pass '' to disable)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from daspeech_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache(args.compilation_cache_dir)
     cfg = HiFiGANConfig()
     rows = load_tsv(args.data)
     wavs = [load_waveform(r["audio"]) for r in rows]
