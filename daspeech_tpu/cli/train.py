@@ -471,6 +471,13 @@ def main(argv=None):
     def detok(s: str) -> str:
         return _pretok.decode(_bpe.decode(s))
 
+    # multi-host: each process validates only ITS round-robin share of the
+    # valid batches and results are combined with a host all-gather — the
+    # fast-stat-sync analogue of the reference's sharded validation
+    # (``fairseq/trainer.py:1442-1481``); single-process these are no-ops
+    from daspeech_tpu.parallel.multihost import (
+        all_gather_host_objects, shard_batches)
+
     def validate(cur_state):
         if not has_valid or generator is None:
             return None
@@ -483,13 +490,17 @@ def main(argv=None):
         if cur_state.batch_stats:
             params_d["batch_stats"] = cur_state.batch_stats
         hyps, refs = [], []
-        for spec, idxs in vit.batches_for_epoch(0):
+        for spec, idxs in shard_batches(vit.batches_for_epoch(0)):
             b = vit.collate(spec, idxs)
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             out = generator.generate(params_d, jb)
             for i, local in enumerate(idxs):
                 hyps.append(detok(task.tgt_dict.string(out[i]["tokens"])))
                 refs.append(detok(vit.dataset._tgt_text(int(local))))
+        if multi_host:
+            parts = all_gather_host_objects((hyps, refs))
+            hyps = [h for hs, _ in parts for h in hs]
+            refs = [r for _, rs in parts for r in rs]
         return corpus_bleu(hyps, refs)
 
     # validation loss for the TTS and joint-S2S stages: the reference
@@ -546,20 +557,24 @@ def main(argv=None):
         if cur_state.batch_stats:
             params_d["batch_stats"] = cur_state.batch_stats
         vals = []
-        for spec, idxs in vit.batches_for_epoch(0):
+        per_proc = -(-max_utts // jax.process_count())
+        for spec, idxs in shard_batches(vit.batches_for_epoch(0)):
             b = vit.collate(spec, idxs)
             M = int(b["target_audio"].shape[1])
             mel, out_lens = tts_infer(
                 params_d, jnp.asarray(b["src_tokens"]), 2 * M)
             mel, out_lens = np.asarray(mel), np.asarray(out_lens)
             for i in range(len(idxs)):
-                if b["sample_mask"][i] == 0 or len(vals) >= max_utts:
+                if b["sample_mask"][i] == 0 or len(vals) >= per_proc:
                     break
                 hyp = mel[i, : max(int(out_lens[i]), 1)]
                 ref = b["target_audio"][i, : int(b["target_audio_lengths"][i])]
                 vals.append(mel_cepstral_distortion(hyp, ref))
-            if len(vals) >= max_utts:
+            if len(vals) >= per_proc:
                 break
+        if multi_host:
+            vals = [v for part in all_gather_host_objects(vals)
+                    for v in part][:max_utts]
         return float(np.mean(vals)) if vals else None
 
     def validate_loss(cur_state):
@@ -578,13 +593,17 @@ def main(argv=None):
         if cur_state.batch_stats:
             params_d["batch_stats"] = cur_state.batch_stats
         total, n = 0.0, 0
-        for spec, idxs in vit.batches_for_epoch(0):
+        for spec, idxs in shard_batches(vit.batches_for_epoch(0)):
             b = vit.collate(spec, idxs)
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             m = eval_step(params_d, jb, jax.random.key(args.seed))
             ns = int(m.get("nsentences", len(idxs)))
             total += float(m["loss"]) * ns
             n += ns
+        if multi_host:
+            parts = all_gather_host_objects((total, n))
+            total = sum(t for t, _ in parts)
+            n = sum(c for _, c in parts)
         return total / max(n, 1)
 
     update = int(state.step)

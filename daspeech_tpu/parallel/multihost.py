@@ -162,6 +162,42 @@ def all_gather_host(value):
     return multihost_utils.process_allgather(value)
 
 
+def shard_batches(batches, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """Round-robin an eval batch stream over processes: process ``i`` keeps
+    batches ``i, i+pc, i+2pc, ...``. The validation analogue of the
+    shard-by-rank train iterator (the reference shards validation the same
+    way and combines with fast-stat-sync, ``fairseq/trainer.py:1442-1481``);
+    single-process it yields everything."""
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    for i, b in enumerate(batches):
+        if i % pc == pi:
+            yield b
+
+
+def all_gather_host_objects(obj):
+    """Gather one arbitrary picklable host object from every process;
+    returns ``[obj_process0, obj_process1, ...]`` on all processes (the
+    reference's ``all_gather_list``, ``distributed/utils.py:526-667``,
+    which pickles into a padded byte tensor and all-gathers — same scheme
+    here over ``process_allgather``). Single-process: ``[obj]``."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray(len(payload), np.int64))
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: len(payload)] = payload
+    gathered = multihost_utils.process_allgather(buf)
+    return [pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+            for p in range(gathered.shape[0])]
+
+
 def broadcast_host(value):
     """Broadcast process 0's host value to all processes
     (``multihost_utils.broadcast_one_to_all`` ≡ ``distributed/utils.py``

@@ -156,3 +156,72 @@ class TestSingleProcessDegradation:
                                    [1.0, 2.0])
         b = mh.broadcast_host(np.asarray(7))
         assert int(np.asarray(b)) == 7
+
+    def test_shard_batches_single_process(self):
+        assert list(mh.shard_batches(range(5))) == [0, 1, 2, 3, 4]
+
+    def test_gather_objects_single_process(self):
+        obj = {"hyps": ["a b", "c"], "n": 3}
+        assert mh.all_gather_host_objects(obj) == [obj]
+
+
+class TestShardedValidation:
+    """Mocked-topology checks for the sharded-validation combination:
+    the union of every process's round-robin share must equal the full
+    set, and the gathered statistics must reproduce the single-process
+    value (``fairseq/trainer.py:1442-1481`` fast-stat-sync analogue)."""
+
+    def test_round_robin_partitions_exactly(self):
+        batches = [f"b{i}" for i in range(11)]
+        parts = [list(mh.shard_batches(batches, pi, 4)) for pi in range(4)]
+        # disjoint, union == all, and balanced to within one batch
+        flat = [b for p in parts for b in p]
+        assert sorted(flat) == sorted(batches)
+        assert len(flat) == len(set(flat))
+        sizes = [len(p) for p in parts]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_gathered_loss_equals_single_process(self):
+        rng = np.random.default_rng(0)
+        losses = rng.normal(size=17)
+        counts = rng.integers(1, 9, size=17)
+        want = float((losses * counts).sum() / counts.sum())
+        # each mocked process accumulates over its share, then "gathers"
+        parts = []
+        for pi in range(3):
+            tot, n = 0.0, 0
+            for i in mh.shard_batches(range(17), pi, 3):
+                tot += float(losses[i]) * int(counts[i])
+                n += int(counts[i])
+            parts.append((tot, n))
+        got = sum(t for t, _ in parts) / sum(c for _, c in parts)
+        assert abs(got - want) < 1e-9
+
+    def test_gather_objects_multi_process_payloads(self, monkeypatch):
+        """Unequal pickle sizes across processes must round-trip (the
+        padded-buffer scheme of the reference's all_gather_list)."""
+        objs = [["short"], ["a much longer hypothesis string", "x"], []]
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+
+        state = {"i": 0}
+
+        def fake_allgather(v):
+            # first call: sizes; later: padded buffers
+            if np.asarray(v).dtype == np.int64:
+                import pickle
+                state["bufs"] = [np.frombuffer(pickle.dumps(o), np.uint8)
+                                 for o in objs]
+                state["sizes"] = np.asarray(
+                    [len(b) for b in state["bufs"]], np.int64)
+                return state["sizes"]
+            m = int(state["sizes"].max())
+            out = np.zeros((3, m), np.uint8)
+            for p, b in enumerate(state["bufs"]):
+                out[p, : len(b)] = b
+            return out
+
+        from jax.experimental import multihost_utils
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            fake_allgather)
+        got = mh.all_gather_host_objects(objs[0])
+        assert got == objs
