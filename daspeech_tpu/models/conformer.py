@@ -265,11 +265,20 @@ class ConvolutionModule(nn.Module):
         if valid is not None:
             x = jnp.where(valid[:, :, None], x, 0.0)
         pad = (self.kernel_size - 1) // 2
+        # pin the depthwise conv to the surrounding batch/time sharding:
+        # without the constraint GSPMD propagates a channel sharding into
+        # the grouped conv and falls back to involuntary full
+        # rematerialization under a data x seq x model mesh (no-op outside
+        # jit_sharded; parallel/partition.py::constrain_btc)
+        from daspeech_tpu.parallel.partition import constrain_btc
+
+        x = constrain_btc(x)
         x = nn.Conv(
             self.embed_dim, kernel_size=(self.kernel_size,),
             padding=[(pad, pad)], feature_group_count=self.embed_dim,
             use_bias=False, dtype=self.dtype, name="depthwise_conv",
         )(x)
+        x = constrain_btc(x)
         x = MaskedBatchNorm(
             self.embed_dim, dtype=self.dtype, name="batch_norm",
         )(x, valid if valid is not None

@@ -31,7 +31,9 @@ over), and there is no MoE layer anywhere in the family.
 
 from __future__ import annotations
 
+import contextlib
 import re
+import threading
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -41,6 +43,55 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # one batch-sharding implementation, shared with the DP-only path
 from daspeech_tpu.train.step import shard_batch_specs
+
+# ---------------------------------------------------------------------------
+# Activation sharding hints.
+#
+# GSPMD propagates shardings op-to-op; where propagation picks conflicting
+# layouts it falls back to "involuntary full rematerialization"
+# (replicate-then-repartition). The encoder's depthwise conv is the one op
+# in the family that trips this under a data x seq x model mesh (the conv
+# inherits a channel sharding from the pointwise projections while its
+# neighbors are batch/time sharded). Modules pin such activations with
+# :func:`constrain_btc`; the hints are installed by jit_sharded /
+# jit_sharded_infer DURING TRACING (the context manager wraps the traced
+# body), and the call is a no-op anywhere else — single-device jits, tests,
+# and CPU runs never see a constraint.
+
+_hints = threading.local()
+
+
+@contextlib.contextmanager
+def activation_hints(mesh: Mesh, data_axis: Optional[str],
+                     seq_axis: Optional[str], model_axis: Optional[str]):
+    prev = getattr(_hints, "cur", None)
+    _hints.cur = (mesh, data_axis, seq_axis, model_axis)
+    try:
+        yield
+    finally:
+        _hints.cur = prev
+
+
+def constrain_btc(x: jax.Array, channels_model: bool = False) -> jax.Array:
+    """Constrain a [batch, time, channel] activation to the hinted mesh:
+    batch over ``data``, time over ``seq``, channels over ``model`` only if
+    ``channels_model`` (else replicated). Dims that don't divide their
+    axis, missing axes, and runs with no hints installed are skipped."""
+    cur = getattr(_hints, "cur", None)
+    if cur is None or getattr(x, "ndim", 0) != 3:
+        return x
+    mesh, data_axis, seq_axis, model_axis = cur
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def ax(axis, dim):
+        if axis is None or sizes.get(axis, 1) <= 1:
+            return None
+        return axis if x.shape[dim] % sizes[axis] == 0 else None
+
+    spec = P(ax(data_axis, 0), ax(seq_axis, 1),
+             ax(model_axis if channels_model else None, 2))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, spec))
 
 
 # (path regex, rank, spec builder) — first match wins. The path is the
@@ -122,6 +173,14 @@ def fsdp_partition_spec(leaf, base: P, fsdp_axis: str, mesh: Mesh,
     dims = list(tuple(base) + (None,) * (ndim - len(tuple(base))))
     free = [d for d in range(ndim)
             if dims[d] is None and shape[d] % size == 0]
+    if ndim >= 3:
+        # rank-3+ leaves are convolution kernels [k, c_in, c_out]: sharding
+        # a feature dim makes GSPMD compute the conv feature-sharded and
+        # then pay an involuntary full rematerialization back to the
+        # batch/time-sharded activation layout (observed on the encoder's
+        # depthwise conv under dp x seq x tp). Only the tap dim may shard;
+        # otherwise the (small) conv kernel stays replicated.
+        free = [d for d in free if d == 0]
     if not free:
         return base
     dims[max(free, key=lambda d: shape[d])] = fsdp_axis
@@ -204,7 +263,8 @@ def jit_sharded_infer(fn, mesh: Mesh, params, data_axis: str = "data",
             return NamedSharding(mesh, P(*dims))
         batch = jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(a, spec(a)), batch)
-        return fn(params, batch)
+        with activation_hints(mesh, data_axis, None, model_axis):
+            return fn(params, batch)
 
     return jax.jit(wrapped, in_shardings=(p_sh, None),
                    out_shardings=replicated)
@@ -230,7 +290,8 @@ def jit_sharded(step_fn, mesh: Mesh, state, data_axis: str = "data",
         batch = jax.lax.with_sharding_constraint(
             batch, shard_batch_specs(batch, mesh, data_axis, batch_dim,
                                      seq_axis=seq_axis))
-        return step_fn(state, batch, rng)
+        with activation_hints(mesh, data_axis, seq_axis, model_axis):
+            return step_fn(state, batch, rng)
 
     return jax.jit(
         wrapped,

@@ -185,6 +185,16 @@ class TestFSDP:
         # no dim divisible by 4 -> untouched
         got = fsdp_partition_spec(L((6, 9)), P(), "data", mesh, min_size=1)
         assert got == P()
+        # conv kernels [k, c_in, c_out]: feature dims must NOT be ZeRO
+        # sharded (feature-sharded conv => involuntary full remat back to
+        # batch/time-sharded activations; dryrun regression r4) — only the
+        # tap dim may take the axis, else replicated
+        got = fsdp_partition_spec(L((31, 1, 256)), P(), "data", mesh,
+                                  min_size=1)
+        assert got == P()
+        got = fsdp_partition_spec(L((8, 256, 256)), P(), "data", mesh,
+                                  min_size=1)
+        assert got == P("data", None, None)
 
     def test_fsdp_step_matches_unsharded(self):
         """ZeRO-3 over a pure data mesh == the replicated DP step == a
