@@ -164,12 +164,15 @@ class MultiHeadAttention(nn.Module):
         use_packed = use_perhead = False
         if self.fused and not self.causal and d_head <= 128:
             Tq, Tk = query.shape[1], key.shape[1]
-            if (_fa.available_spmd()
-                    and _fa.packed_fits_vmem(Tq, Tk, self.embed_dim,
-                                             self.num_heads)):
-                use_packed = True          # GSPMD-safe, any device count
-            elif _fa.available():
-                use_perhead = True         # single-device-only fallback
+            if _fa.available_spmd():
+                # both kernels are GSPMD-safe (custom_partitioning batch
+                # rules); packed when it fits VMEM, per-(b,h) for the
+                # long-sequence shapes that overflow it
+                if _fa.packed_fits_vmem(Tq, Tk, self.embed_dim,
+                                        self.num_heads):
+                    use_packed = True
+                else:
+                    use_perhead = True
 
         if use_packed or use_perhead:
             from daspeech_tpu.ops.fused_attention import (
@@ -197,9 +200,11 @@ class MultiHeadAttention(nn.Module):
                     self.dropout if use_drop else 0.0, use_drop,
                     self.num_heads)
             else:
-                seed = (jax.random.bits(self.make_rng("dropout"), (),
+                # per-row seeds, same sharding-invariance contract as the
+                # packed path
+                seed = (jax.random.bits(self.make_rng("dropout"), (B,),
                                         jnp.uint32).astype(jnp.int32)
-                        if use_drop else jnp.int32(0))
+                        if use_drop else jnp.zeros((B,), jnp.int32))
                 to_bhtd = lambda x: jnp.swapaxes(split(x), 1, 2)
                 out = fused_attention(
                     to_bhtd(q), to_bhtd(k), to_bhtd(v), bias, seed,

@@ -32,11 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 
-# pallas_call is an opaque custom call to GSPMD: under a multi-device jit
-# the partitioner cannot shard it automatically (the production pattern is
-# shard_map around the kernel, e.g. MaxText's attention wrappers). The
-# module gates itself to single-device runs; flip this after wrapping the
-# step in shard_map on a pod.
+# A bare pallas_call is an opaque custom call to GSPMD: under a
+# multi-device jit the partitioner cannot shard it automatically. The
+# production kernels here (per-(b,h) fused_attention, the packed variant,
+# ops/fused_links.py) all carry custom_partitioning batch rules and are
+# gated by available_spmd(); only the alternate backends without rules
+# (fused_attention_full_bias, ops/fused_ffn.py) remain behind available()
+# and this single-device switch.
 ALLOW_MULTI_DEVICE = False
 
 
@@ -50,11 +52,11 @@ def available() -> bool:
 
 
 def available_spmd() -> bool:
-    """GSPMD-compatible kernels (:func:`fused_attention_packed`,
-    ``ops/fused_links.py``) are usable: TPU backend, ANY device count —
-    their ``custom_partitioning`` rules shard batch dim 0, so the
-    partitioner runs them per-shard instead of treating the pallas_call
-    as an unshardable opaque custom call.
+    """GSPMD-compatible kernels (:func:`fused_attention` per-(b,h),
+    :func:`fused_attention_packed`, ``ops/fused_links.py``) are usable:
+    TPU backend, ANY device count — their ``custom_partitioning`` rules
+    shard batch dim 0, so the partitioner runs them per-shard instead of
+    treating the pallas_call as an unshardable opaque custom call.
 
     Tensor-parallel note: the rules replicate every non-batch dim, so
     under a model axis GSPMD all-gathers the hidden dim and each shard
@@ -85,9 +87,10 @@ def _attn_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     if dropout:
-        pltpu.prng_seed(
-            seed_ref[0],
-            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        # PER-ROW seed + head index: the stream is invariant to batch
+        # sharding (each shard's seeds travel with its rows), unlike the
+        # old flat program-id seeding
+        pltpu.prng_seed(seed_ref[pl.program_id(0)], pl.program_id(1))
         bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
         thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
         keep = (bits <= thresh).astype(jnp.float32)
@@ -119,9 +122,7 @@ def _attn_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     if dropout:
         # identical seed + identical call shape/order as the forward =>
         # identical bits
-        pltpu.prng_seed(
-            seed_ref[0],
-            pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+        pltpu.prng_seed(seed_ref[pl.program_id(0)], pl.program_id(1))
         bits = pltpu.bitcast(pltpu.prng_random_bits(p.shape), jnp.uint32)
         thresh = jnp.uint32(int(keep_p * (2 ** 32 - 1)))
         keep = (bits <= thresh).astype(jnp.float32) * (1.0 / keep_p)
@@ -190,28 +191,30 @@ def fused_attention(q, k, v, bias, seed,
     """out[b,h] = dropout(softmax(q k^T * sm_scale + bias[b])) @ v.
 
     q [B, H, Tq, d] (d <= 128), k/v [B, H, Tk, d], bias [B, Tk] additive
-    column bias (0 valid / -1e30 masked), seed scalar int32 (ignored unless
-    ``train`` and ``dropout_p > 0``). Scores, probabilities, and dropout
-    bits stay in VMEM; backward recomputes them with the same seed.
+    column bias (0 valid / -1e30 masked), seed a scalar or per-row [B]
+    int32 (ignored unless ``train`` and ``dropout_p > 0``). Scores,
+    probabilities, and dropout bits stay in VMEM; backward recomputes them
+    with the same seeds. GSPMD-safe: like the packed kernel, fwd and bwd
+    carry a ``custom_partitioning`` batch rule (dim 0), so long-sequence
+    shapes that overflow :func:`packed_fits_vmem` keep the fused path
+    under multi-device jits.
     """
     out, _ = _fused_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train)
     return out
 
 
-def _fused_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train):
+def _perhead_fwd_impl(seeds, q, k, v, bias, sm_scale, dropout_p, train):
     B, H, Tq, d = q.shape
     qp, kp, vp, biasp, dp, Tqp, Tkp = _pad_qkv(q, k, v, bias)
     drop = bool(train) and dropout_p > 0.0
     kern = functools.partial(
         _attn_kernel, sm_scale=sm_scale,
         keep_p=1.0 - dropout_p, dropout=drop)
-    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
-    (out,) = _grid_call(kern, ["q"], seed, qp, kp, vp, biasp, Tqp, Tkp, dp)
-    return out[:, :, :Tq, :d], (q, k, v, bias, seed)
+    (out,) = _grid_call(kern, ["q"], seeds, qp, kp, vp, biasp, Tqp, Tkp, dp)
+    return out[:, :, :Tq, :d]
 
 
-def _fused_bwd(sm_scale, dropout_p, train, res, g):
-    q, k, v, bias, seed = res
+def _perhead_bwd_impl(seeds, q, k, v, bias, g, sm_scale, dropout_p, train):
     B, H, Tq, d = q.shape
     Tk = k.shape[2]
     qp, kp, vp, biasp, dp, Tqp, Tkp = _pad_qkv(q, k, v, bias)
@@ -222,10 +225,58 @@ def _fused_bwd(sm_scale, dropout_p, train, res, g):
         _attn_bwd_kernel, sm_scale=sm_scale,
         keep_p=1.0 - dropout_p, dropout=drop)
     dqp, dkp, dvp = _grid_call(
-        kern, ["q", "k", "k"], seed, qp, kp, vp, biasp, Tqp, Tkp, dp,
+        kern, ["q", "k", "k"], seeds, qp, kp, vp, biasp, Tqp, Tkp, dp,
         extra=(gp,))
-    return (dqp[:, :, :Tq, :d], dkp[:, :, :Tk, :d], dvp[:, :, :Tk, :d],
-            None, None)
+    return dqp[:, :, :Tq, :d], dkp[:, :, :Tk, :d], dvp[:, :, :Tk, :d]
+
+
+@functools.lru_cache(maxsize=None)
+def _perhead_fwd_spmd(sm_scale, dropout_p, train):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(seeds, q, k, v, bias):
+        return _perhead_fwd_impl(seeds, q, k, v, bias,
+                                 sm_scale, dropout_p, train)
+
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition=_batch_dim0_partition(impl),
+        sharding_rule="b, b h q d, b h k d, b h k d, b k -> b h q d",
+        need_replication_factors=("h", "q", "d", "k"),
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _perhead_bwd_spmd(sm_scale, dropout_p, train):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(seeds, q, k, v, bias, g):
+        return _perhead_bwd_impl(seeds, q, k, v, bias, g,
+                                 sm_scale, dropout_p, train)
+
+    f = custom_partitioning(impl)
+    f.def_partition(
+        partition=_batch_dim0_partition(impl),
+        sharding_rule="b, b h q d, b h k d, b h k d, b k, b h q d "
+                      "-> b h q d, b h k d, b h k d",
+        need_replication_factors=("h", "q", "d", "k"),
+    )
+    return f
+
+
+def _fused_fwd(q, k, v, bias, seed, sm_scale, dropout_p, train):
+    seeds = _norm_seeds(seed, q.shape[0])
+    out = _perhead_fwd_spmd(sm_scale, dropout_p, bool(train))(
+        seeds, q, k, v, bias)
+    return out, (q, k, v, bias, seeds)
+
+
+def _fused_bwd(sm_scale, dropout_p, train, res, g):
+    q, k, v, bias, seeds = res
+    dq, dk, dv = _perhead_bwd_spmd(sm_scale, dropout_p, bool(train))(
+        seeds, q, k, v, bias, g)
+    return dq, dk, dv, None, None
 
 
 fused_attention.defvjp(_fused_fwd, _fused_bwd)

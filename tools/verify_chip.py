@@ -78,6 +78,54 @@ def verify_packed_attention():
     check("packed_attn_dropout_grad_finite", bool(jnp.all(jnp.isfinite(g))))
 
 
+def verify_perhead_attention():
+    """The per-(b,h) kernel (long-sequence fallback): numerics vs the same
+    oracle and the per-row dropout-stream contract it adopted in round 4
+    (per-row seeds + head index, sharding-invariant like the packed one)."""
+    from daspeech_tpu.ops import fused_attention as fa
+
+    B, Tq, Tk, H, d = 4, 96, 96, 4, 64
+    C = H * d
+    rng = np.random.default_rng(7)
+    qp = jnp.asarray(rng.normal(size=(B, Tq, C)).astype(np.float32))
+    kp = jnp.asarray(rng.normal(size=(B, Tk, C)).astype(np.float32))
+    vp = jnp.asarray(rng.normal(size=(B, Tk, C)).astype(np.float32))
+    valid = np.ones((B, Tk), bool)
+    valid[0, -4:] = False
+    bias = jnp.asarray(np.where(valid, 0.0, fa.NEG).astype(np.float32))
+    sc = 1.0 / math.sqrt(d)
+    seeds = jnp.arange(B, dtype=jnp.int32) + 3
+
+    def to_bhtd(x, T):
+        return jnp.swapaxes(x.reshape(B, T, H, d), 1, 2)
+
+    q, k, v = to_bhtd(qp, Tq), to_bhtd(kp, Tk), to_bhtd(vp, Tk)
+    out = jax.jit(lambda q, k, v: fa.fused_attention(
+        q, k, v, bias, seeds, sc, 0.0, False))(q, k, v)
+    out_p = jnp.swapaxes(out, 1, 2).reshape(B, Tq, C)
+    err = float(jnp.max(jnp.abs(
+        out_p - mha_oracle(qp, kp, vp, bias, sc, H))))
+    check("perhead_attn_fwd_vs_oracle", err < 2e-3, f"max diff {err:.2e}")
+
+    p_drop = 0.3
+    fd = jax.jit(lambda q, k, v, b, s: fa.fused_attention(
+        q, k, v, b, s, sc, p_drop, True))
+    o1 = fd(q, k, v, bias, seeds)
+    check("perhead_attn_dropout_deterministic",
+          bool(jnp.array_equal(o1, fd(q, k, v, bias, seeds))))
+    check("perhead_attn_dropout_seed_sensitivity",
+          bool(jnp.any(o1 != fd(q, k, v, bias, seeds + 1))))
+    perm = jnp.array([2, 0, 3, 1])
+    o_perm = fd(q[perm], k[perm], v[perm], bias[perm], seeds[perm])
+    check("perhead_attn_per_row_streams_travel",
+          bool(jnp.array_equal(o_perm, o1[perm])),
+          "permuting rows with their seeds permutes outputs exactly")
+    g = jax.jit(jax.grad(lambda q: jnp.sum(
+        fd(q, k, v, bias, seeds) ** 2)))(q)
+    check("perhead_attn_dropout_grad_finite",
+          bool(jnp.all(jnp.isfinite(g))))
+
+
 def verify_fused_links():
     from daspeech_tpu.ops import fused_links as fl
 
@@ -165,16 +213,15 @@ def verify_relpos():
     B, T, C, H = 4, 512, 256, 4    # T >= KERNEL_MIN_T so the kernel runs
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
-    pos = rel_positional_encoding(T, C)
     mask = np.zeros((B, T), bool)
     mask[-1, -9:] = True
     mask = jnp.asarray(mask)
     m_xla = RelPosMultiHeadAttention(C, H, 0.0, fused=False)
     m_fus = RelPosMultiHeadAttention(C, H, 0.0, fused=True)
-    variables = m_xla.init({"params": jax.random.PRNGKey(0)}, x, pos,
+    variables = m_xla.init({"params": jax.random.PRNGKey(0)}, x,
                            key_padding_mask=mask, train=False)
-    o1 = m_xla.apply(variables, x, pos, key_padding_mask=mask, train=False)
-    o2 = m_fus.apply(variables, x, pos, key_padding_mask=mask, train=False)
+    o1 = m_xla.apply(variables, x, key_padding_mask=mask, train=False)
+    o2 = m_fus.apply(variables, x, key_padding_mask=mask, train=False)
     err = float(jnp.max(jnp.abs(o1 - o2)))
     check("relpos_kernel_vs_xla_rotation", err < 5e-3, f"max diff {err:.2e}")
 
@@ -241,6 +288,7 @@ def main():
                                     "gated kernels would not execute"}))
         return 1
     verify_packed_attention()
+    verify_perhead_attention()
     verify_fused_links()
     verify_relpos()
     verify_fused_ffn()
