@@ -42,6 +42,34 @@ def leaky_relu(x):
 # output phases as channels).
 
 
+def prefer_direct_dilated(C: int, f: int, k: int, d: int) -> bool:
+    """Per-conv backend choice for the folded serving path, from a measured
+    strategy matrix on one v5e (chained-conv microbench, round 4): XLA's
+    native dilated conv beats the dense folded tap form exactly where
+    folding multiplies the tap count by the dilation — C=64: k7d5 0.97 vs
+    1.22 ms, k11d5 1.10 vs 1.52 ms (k*d3 within 2%, folded wins d=1).
+    At C=32 the folded form won every (k, d) by 1.5-2.4x, so direct is
+    only selected for C >= 64. Unfold<->refold around the call is a free
+    row-major reshape."""
+    return f > 1 and C >= 64 and d >= 5 and k >= 7
+
+
+def direct_dilated_conv(x_folded: jnp.ndarray, kernel: jnp.ndarray,
+                        d: int, f: int, dtype=jnp.float32) -> jnp.ndarray:
+    """SAME-padded dilated conv on the UNFOLDED view of folded activations
+    ([B, G, f*C] -> [B, G*f, C] is a free reshape). Same sums as the
+    folded tap form; used where the measured matrix says XLA's native
+    dilated conv is faster (``prefer_direct_dilated``)."""
+    B, G, FC = x_folded.shape
+    k, cin, cout = kernel.shape
+    p = (k - 1) // 2 * d
+    y = jax.lax.conv_general_dilated(
+        x_folded.reshape(B, G * f, cin).astype(dtype),
+        kernel.astype(dtype), (1,), [(p, p)], rhs_dilation=(d,),
+        dimension_numbers=("NWC", "WIO", "NWC"))
+    return y.reshape(B, G, f * cout)
+
+
 def conv_taps(kernel: jnp.ndarray, dilation: int = 1):
     """[k, C_in, C_out] SAME-padded dilated conv -> tap list."""
     k = kernel.shape[0]
@@ -165,17 +193,33 @@ class ResBlock1(nn.Module):
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
     fold: int = 1
+    collect_params: bool = False   # return (k1,b1,k2,b2) per iteration
+    # instead of computing (the fused MRF kernel consumes the raw taps;
+    # declaring the same FoldedConvParams keeps the param tree identical)
 
     @nn.compact
     def __call__(self, x):
         C, f = self.channels, self.fold
+        collected = []
         for i, d in enumerate(self.dilations):
+            if self.collect_params:
+                k1, b1 = FoldedConvParams(
+                    (self.kernel_size, C, C), name=f"convs1_{i}")()
+                k2, b2 = FoldedConvParams(
+                    (self.kernel_size, C, C), name=f"convs2_{i}")()
+                collected.append((k1, b1, k2, b2))
+                continue
             xt = leaky_relu(x)
             if f == 1:
                 p1 = (self.kernel_size - 1) // 2 * d
                 xt = nn.Conv(C, (self.kernel_size,),
                              kernel_dilation=(d,), padding=[(p1, p1)],
                              dtype=self.dtype, name=f"convs1_{i}")(xt)
+            elif prefer_direct_dilated(C, f, self.kernel_size, d):
+                k1, b1 = FoldedConvParams(
+                    (self.kernel_size, C, C), name=f"convs1_{i}")()
+                xt = direct_dilated_conv(xt, k1, d, f, self.dtype) \
+                    + jnp.tile(b1, f)
             else:
                 k1, b1 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs1_{i}")()
@@ -193,6 +237,8 @@ class ResBlock1(nn.Module):
                 xt = apply_taps(xt, fold_taps(conv_taps(k2, 1), f, C, C),
                                 self.dtype) + jnp.tile(b2, f)
             x = x + xt
+        if self.collect_params:
+            return collected
         return x
 
 
@@ -215,6 +261,11 @@ class ResBlock2(nn.Module):
                 xt = nn.Conv(C, (self.kernel_size,),
                              kernel_dilation=(d,), padding=[(p, p)],
                              dtype=self.dtype, name=f"convs_{i}")(xt)
+            elif prefer_direct_dilated(C, f, self.kernel_size, d):
+                k1, b1 = FoldedConvParams(
+                    (self.kernel_size, C, C), name=f"convs_{i}")()
+                xt = direct_dilated_conv(xt, k1, d, f, self.dtype) \
+                    + jnp.tile(b1, f)
             else:
                 k1, b1 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs_{i}")()
@@ -238,14 +289,31 @@ class HiFiGANGenerator(nn.Module):
     cfg: HiFiGANConfig
     dtype: jnp.dtype = jnp.float32
     fold_to: int = 0
+    # Pallas fused MRF levels (alternate backend, off by default): when a
+    # level's folded view is exactly one lane tile (f*ch == 128), run its
+    # 18-conv ResBlock stack in one VMEM-resident kernel (ops/fused_mrf.py)
+    # instead of 18 XLA convs. Correct (exact vs this module, tested) but a
+    # measured NEGATIVE on one v5e: 61-67% MFU vs XLA's 65-78% on the same
+    # dense folded tap FLOPs (the chain is compute-bound, so fusing buys no
+    # bandwidth, and the kernel pays halo recompute + misaligned shifted
+    # reads). Kept as a cross-checked alternate, like ops/fused_ffn.py.
+    fused_mrf: bool = False
+    mrf_interpret: bool = False    # CPU test mode for the kernel
+    mrf_tile: int = 1024
 
     @nn.compact
-    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, mel: jnp.ndarray, stop_at_level: int = -1
+                 ) -> jnp.ndarray:
         # mel: [B, T, num_mels] -> wav [B, T * prod(upsample_rates)]
+        # stop_at_level (static; profiling only): -1 = full forward;
+        # -2 = return after conv_pre; i >= 0 = return the level-i
+        # activations right after its MRF average (folded view).
         c = self.cfg
         B = mel.shape[0]
         x = nn.Conv(c.upsample_initial_channel, (7,), padding=[(3, 3)],
                     dtype=self.dtype, name="conv_pre")(mel)
+        if stop_at_level == -2:
+            return x
         res_cls = ResBlock1 if c.resblock == "1" else ResBlock2
         num_kernels = len(c.resblock_kernel_sizes)
         f = 1                           # current fold of x
@@ -268,13 +336,40 @@ class HiFiGANGenerator(nn.Module):
                     ch, k, u, (k - u) // 2, dtype=self.dtype,
                     name=f"ups_{i}")(x)
             f = f_next
-            xs = None
-            for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
-                                             c.resblock_dilation_sizes)):
-                block = res_cls(ch, rk, tuple(rd), dtype=self.dtype, fold=f,
-                                name=f"resblocks_{i * num_kernels + j}")(x)
-                xs = block if xs is None else xs + block
-            x = xs / num_kernels
+            # fused path gate (all static): one lane tile per folded frame,
+            # ResBlock type 1, and enough frames for the halo exchange
+            use_fused = (self.fused_mrf and c.resblock == "1"
+                         and f * ch == 128 and x.shape[1] >= 128)
+            if use_fused:
+                conv_params = [
+                    res_cls(ch, rk, tuple(rd), dtype=self.dtype, fold=f,
+                            collect_params=True,
+                            name=f"resblocks_{i * num_kernels + j}")(x)
+                    for j, (rk, rd) in enumerate(
+                        zip(c.resblock_kernel_sizes,
+                            c.resblock_dilation_sizes))]
+                from daspeech_tpu.ops import fused_mrf as _fm
+
+                W, bias, offs, H = _fm.prepare_level(
+                    conv_params, f, ch, c.resblock_kernel_sizes,
+                    c.resblock_dilation_sizes,
+                    dtype=(jnp.float32 if self.mrf_interpret
+                           else jnp.bfloat16))
+                x = _fm.mrf_level(
+                    x.astype(jnp.float32), W, bias, offsets=offs, H=H,
+                    tile=self.mrf_tile, n_blocks=num_kernels,
+                    interpret=self.mrf_interpret)
+            else:
+                xs = None
+                for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
+                                                 c.resblock_dilation_sizes)):
+                    block = res_cls(ch, rk, tuple(rd), dtype=self.dtype,
+                                    fold=f,
+                                    name=f"resblocks_{i * num_kernels + j}")(x)
+                    xs = block if xs is None else xs + block
+                x = xs / num_kernels
+            if stop_at_level == i:
+                return x
         # the reference's final activation uses torch's default slope 0.01,
         # not LRELU_SLOPE (``models.py:121``: plain F.leaky_relu(x))
         x = jax.nn.leaky_relu(x, 0.01)
