@@ -8,6 +8,8 @@ parses the final line):
   3 s2tt_decode_rtf      Conformer-DAG forward + lookahead decode
   5 dag_train_step_ms    full nat_dag_loss fwd+bwd+Adam at max-tokens 40k,
                          with measured TFLOP/s and MFU (vs v5e bf16 peak)
+    s2s_joint_step_ms    stage-3 joint S2ST finetune step (max-tokens 20k)
+    hifigan_train_step_ms  vocoder G+D alternating update (b16 x 8192)
   4 e2e_s2st_rtf         full two-pass S2ST (headline; vs the 10x-real-time
                          north star — the reference publishes no numbers)
 
@@ -198,6 +200,18 @@ def main():
     except Exception as e:   # never lose the headline to a train-bench issue
         log(f"train-step bench failed: {type(e).__name__}: {e}")
 
+    # --- stage-3 joint S2ST finetune step (max-tokens 20000 recipe)
+    try:
+        results.append(bench_s2s_joint_step())
+    except Exception as e:
+        log(f"s2s-joint bench failed: {type(e).__name__}: {e}")
+
+    # --- HiFi-GAN vocoder training step (G+D alternating update)
+    try:
+        results.append(bench_vocoder_train_step())
+    except Exception as e:
+        log(f"vocoder-train bench failed: {type(e).__name__}: {e}")
+
     # --- config 4 (headline, LAST): full two-pass S2ST
     sync(s2st(fbank, src_lengths, prev, durs))
     dt = timeit(s2st, fbank, src_lengths, prev, durs)
@@ -269,6 +283,118 @@ def bench_train_step():
         rec["tflops"] = round(tflops, 1)
         rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_BF16_PEAK, 3)
     return rec
+
+
+def bench_s2s_joint_step():
+    """Stage-3 joint S2ST finetune step (``README.md:297-301`` recipe:
+    max-tokens 20000 -> B=40 x S=480, expect strategy, tts weight 5.0),
+    with TFLOP/s and MFU where XLA reports FLOPs."""
+    import dataclasses
+
+    from daspeech_tpu.core.config import (
+        DAGModelConfig, S2SModelConfig, VocabConfig)
+    from daspeech_tpu.losses import s2s_dag_fastspeech2_loss
+    from daspeech_tpu.models import (
+        S2SConformerDAGFastSpeech2, graph_lengths, initialize_output_tokens)
+    from daspeech_tpu.train import TrainState, make_optimizer, make_train_step
+
+    vocab = VocabConfig(size=128)
+    cfg = S2SModelConfig(dag=DAGModelConfig(vocab=vocab))
+    model = S2SConformerDAGFastSpeech2(cfg, dtype=jnp.bfloat16)
+    B, S, L, T, M = 40, 480, 240, 64, 512
+    rng = np.random.default_rng(0)
+    fbank = jnp.asarray(rng.normal(size=(B, S, 80)).astype(np.float32))
+    sl = jnp.full((B,), S, jnp.int32)
+    prev = initialize_output_tokens(graph_lengths(sl, 0.5, 1024), L, vocab)
+    tgt = jnp.asarray(rng.integers(4, 128, size=(B, T)), jnp.int32)
+    tgt = tgt.at[:, 0].set(vocab.bos).at[:, T - 1].set(vocab.eos)
+    batch = {
+        "fbank": fbank, "src_lengths": sl, "target_text": tgt,
+        "prev_output_tokens": prev,
+        "target_audio": jnp.asarray(
+            rng.normal(size=(B, M, 80)).astype(np.float32)),
+        "target_audio_lengths": jnp.full((B,), M, jnp.int32),
+        "durations": jnp.full((B, T - 1), 8, jnp.int32),
+        "pitches": jnp.zeros((B, T - 1), jnp.float32),
+        "energies": jnp.zeros((B, T - 1), jnp.float32),
+    }
+
+    def full(m):
+        _, _, feats = m(fbank[:1], sl[:1], prev[:1])
+        return m.synthesize(feats, jnp.zeros((1, L), bool), M)
+
+    params = fast_init(model, jax.random.key(0), method=full)
+    key = jax.random.key(0, impl="rbg")
+    tx = make_optimizer(lr=1e-3, warmup_updates=10000, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(pd, b, k, step):
+        return s2s_dag_fastspeech2_loss(
+            model, pd, b, k, jnp.asarray(0.1), vocab,
+            tts_loss_weight=5.0, training_strategy="expect")
+
+    step_jit = jax.jit(make_train_step(loss_fn, tx), donate_argnums=())
+    t = time.perf_counter()
+    compiled = step_jit.lower(state, batch, key).compile()
+    log(f"s2s joint step compiled in {time.perf_counter()-t:.0f}s")
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    dt = timeit(lambda: compiled(state, batch, key), n=10)
+    rec = {"metric": "s2s_joint_step_ms", "value": round(dt * 1e3, 2),
+           "unit": "ms_per_update_maxtokens20k", "vs_baseline": None}
+    if flops:
+        rec["tflops"] = round(flops / dt / 1e12, 1)
+        rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_BF16_PEAK, 3)
+    return rec
+
+
+def bench_vocoder_train_step():
+    """HiFi-GAN training step: alternating D/G update with the mel loss
+    (``hifi-gan/train.py:118-171``) at the reference's batch 16 x 8192
+    segment."""
+    from daspeech_tpu.core.config import HiFiGANConfig
+    from daspeech_tpu.data.audio_utils import _slaney_mel
+    from daspeech_tpu.train.vocoder_train import VocoderTrainer
+
+    cfg = HiFiGANConfig()
+    hop = cfg.hop_size
+    mel_basis = jnp.asarray(_slaney_mel(cfg.num_mels, 1024, 22050,
+                                        0.0, 8000.0))
+    win = jnp.asarray(np.hanning(1025)[:-1].astype(np.float32))
+
+    def mel_fn(wav):
+        pad = (1024 - hop) // 2
+        w = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+        n_frames = 1 + (w.shape[1] - 1024) // hop
+        idx = (jnp.arange(1024)[None, :]
+               + hop * jnp.arange(n_frames)[:, None])
+        frames = w[:, idx] * win[None, None, :]
+        spec = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+        mel = jnp.einsum("btf,fm->btm", spec, mel_basis)
+        return jnp.log(jnp.maximum(mel, 1e-5))
+
+    seg = 8192
+    trainer = VocoderTrainer(cfg, mel_fn=mel_fn, segment_size=seg)
+    state = trainer.init_state(jax.random.key(0))
+    B = 16
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(
+        rng.normal(size=(B, seg // hop, cfg.num_mels)).astype(np.float32))
+    wav = jnp.asarray(
+        (0.1 * rng.normal(size=(B, seg))).astype(np.float32))
+    step_jit = jax.jit(trainer.train_step)
+    t = time.perf_counter()
+    out = step_jit(state, mel, wav)
+    sync(out)
+    log(f"vocoder train step compiled in {time.perf_counter()-t:.0f}s")
+    dt = timeit(lambda: step_jit(state, mel, wav), n=10)
+    return {"metric": "hifigan_train_step_ms", "value": round(dt * 1e3, 2),
+            "unit": "ms_per_update_b16_seg8192", "vs_baseline": None}
 
 
 if __name__ == "__main__":
