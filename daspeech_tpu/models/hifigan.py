@@ -43,15 +43,21 @@ def leaky_relu(x):
 
 
 def prefer_direct_dilated(C: int, f: int, k: int, d: int) -> bool:
-    """Per-conv backend choice for the folded serving path, from a measured
-    strategy matrix on one v5e (chained-conv microbench, round 4): XLA's
-    native dilated conv beats the dense folded tap form exactly where
-    folding multiplies the tap count by the dilation — C=64: k7d5 0.97 vs
-    1.22 ms, k11d5 1.10 vs 1.52 ms (k*d3 within 2%, folded wins d=1).
-    At C=32 the folded form won every (k, d) by 1.5-2.4x, so direct is
-    only selected for C >= 64. Unfold<->refold around the call is a free
-    row-major reshape."""
-    return f > 1 and C >= 64 and d >= 5 and k >= 7
+    """Per-conv backend choice for the folded serving path — MEASURED
+    NEGATIVE in situ, so always False (the alternate stays tested via
+    ``direct_dilated_conv``).
+
+    The round-4 strategy matrix on one v5e (chained-conv microbench)
+    showed XLA's native dilated conv beating the dense folded tap form
+    exactly where folding multiplies the tap count by the dilation —
+    C=64: k7d5 0.97 vs 1.22 ms, k11d5 1.10 vs 1.52 ms — but switching
+    those convs inside the full generator made level 2 48% SLOWER
+    (6.68 -> 9.79 ms, 70.6% -> 40.6% MFU, tools/profile_vocoder.py): the
+    microbench chained identical convs, while in situ every folded<->
+    direct switch pays XLA layout transitions on the 64-channel tensors
+    that cost more than the 0.25-0.42 ms/conv tap savings. A win here
+    needs a whole-level direct formulation, not per-conv swaps."""
+    return False
 
 
 def direct_dilated_conv(x_folded: jnp.ndarray, kernel: jnp.ndarray,

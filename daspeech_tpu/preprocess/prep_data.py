@@ -154,6 +154,38 @@ def frame_energy(wav: np.ndarray, hop: int = 256, win: int = 1024,
     return np.linalg.norm(spec, axis=1).astype(np.float32)
 
 
+def make_pitch_fn(name: str = "yin", hop: int = 256):
+    """Resolve a ``pitch_fn`` by name: ``yin`` (default; pure-numpy YIN +
+    StoneMask-style refinement) or ``pyworld`` (the reference's exact
+    dio+stonemask, ``data_utils.py:88-96``). ``pyworld`` HARD-fails when
+    the package is absent — a silent fallback would silently change the
+    stage-2/3 pitch targets vs reference-prepped data (measured YIN-vs-
+    ground-truth deviation documented in COVERAGE.md; pyworld's own
+    octave/voicing decisions can differ more on real speech)."""
+    if name == "pyworld":
+        try:
+            import pyworld
+        except ImportError as e:
+            raise ImportError(
+                "pitch_fn='pyworld' requested for reference-parity prep, "
+                "but the pyworld package is not installed on this host. "
+                "Install pyworld, or use pitch_fn='yin' (pure numpy; "
+                "expected deviation from pyworld documented in COVERAGE.md)"
+            ) from e
+
+        def pyworld_pitch(wav: np.ndarray, sample_rate: int) -> np.ndarray:
+            w = np.ascontiguousarray(wav, dtype=np.float64)
+            f0, t = pyworld.dio(
+                w, sample_rate, frame_period=hop / sample_rate * 1000.0)
+            return pyworld.stonemask(w, f0, t, sample_rate).astype(
+                np.float32)
+
+        return pyworld_pitch
+    if name == "yin":
+        return lambda w, sr: yin_stonemask_pitch(w, sr, hop=hop)
+    raise ValueError(f"unknown pitch_fn {name!r} (yin | pyworld)")
+
+
 def average_by_duration(values: np.ndarray, durations: Sequence[int],
                         exclude_zeros: bool = True) -> np.ndarray:
     """Average a frame-level contour per phoneme span

@@ -95,6 +95,20 @@ class TestFusedMRF:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5)
 
+    def test_direct_dilated_alternate_matches(self, setup, monkeypatch):
+        """The direct-dilated per-conv alternate (prefer_direct_dilated is
+        a measured in-situ negative, default off) must stay numerically
+        equal to the folded tap form when forced on."""
+        import daspeech_tpu.models.hifigan as hg
+
+        cfg, mel, ref_model, params = setup
+        want = ref_model.apply(params, mel)
+        monkeypatch.setattr(hg, "prefer_direct_dilated",
+                            lambda C, f, k, d: f > 1 and d > 1)
+        got = HiFiGANGenerator(cfg, fold_to=128).apply(params, mel)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
     def test_small_input_falls_back(self, setup):
         """Below the 128-frame gate the unfused path runs (same output)."""
         cfg, _, ref_model, _ = setup

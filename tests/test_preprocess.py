@@ -143,3 +143,41 @@ class TestStonemaskRefine:
         f0 = np.zeros(40, np.float32)
         out = stonemask_refine(wav, f0, 22050)
         assert (out == 0).all()
+
+
+class TestMakePitchFn:
+    """Pitch backend resolution (``prep_data.make_pitch_fn``): pyworld is
+    opt-in explicit and HARD-fails when absent — a silent fallback would
+    silently change stage-2/3 training targets vs reference-prepped data
+    (``data_utils.py:88-96``). Deviation numbers: tools/quantify_pitch.py,
+    documented in COVERAGE.md."""
+
+    def test_yin_default_tracks_tone(self):
+        from daspeech_tpu.preprocess.prep_data import make_pitch_fn
+
+        sr = 22050
+        wav = make_tone(150.0, 1.0, sr)
+        f0 = make_pitch_fn("yin")(wav, sr)
+        voiced = f0 > 0
+        assert voiced.mean() > 0.8
+        np.testing.assert_allclose(f0[voiced], 150.0, atol=1.0)
+
+    def test_pyworld_hard_fails_when_absent(self):
+        from daspeech_tpu.preprocess.prep_data import make_pitch_fn
+
+        try:
+            import pyworld  # noqa: F401
+            import pytest
+            pytest.skip("pyworld present on this host")
+        except ImportError:
+            pass
+        import pytest
+        with pytest.raises(ImportError, match="pyworld"):
+            make_pitch_fn("pyworld")
+
+    def test_unknown_name_raises(self):
+        from daspeech_tpu.preprocess.prep_data import make_pitch_fn
+
+        import pytest
+        with pytest.raises(ValueError, match="unknown pitch_fn"):
+            make_pitch_fn("crepe")
