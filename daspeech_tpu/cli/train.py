@@ -172,6 +172,22 @@ def parse_args(argv=None):
                         "bucket shapes skip the cold compile (default "
                         "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
                         "xla; pass '' to disable)")
+    p.add_argument("--heartbeat-timeout", type=float, default=-1,
+                   help="kill the process (stack dump + SIGINT) if no "
+                        "training step completes for N seconds — a wedged "
+                        "host in a multi-process run otherwise hangs every "
+                        "collective silently (distributed_timeout_wrapper."
+                        "py equivalent). <= 0 disables; arms after the "
+                        "first step so cold compiles don't trip it")
+    p.add_argument("--aim-repo", default=None,
+                   help="also mirror progress stats to an Aim repo "
+                        "(``logging/progress_bar.py`` aim backend; "
+                        "requires the optional aim package)")
+    p.add_argument("--aim-run-hash", default=None,
+                   help="append to an existing Aim run")
+    p.add_argument("--azureml-logging", action="store_true",
+                   help="also mirror progress stats to Azure ML's ambient "
+                        "run context (requires azureml-core)")
     return p.parse_args(argv)
 
 
@@ -444,6 +460,14 @@ def main(argv=None):
 
         sinks.append(WandBSink(args.wandb_project,
                                run_name=Path(args.save_dir).name))
+    if args.aim_repo:
+        from daspeech_tpu.train.metrics import AimSink
+
+        sinks.append(AimSink(args.aim_repo, run_hash=args.aim_run_hash))
+    if args.azureml_logging:
+        from daspeech_tpu.train.metrics import AzureMLSink
+
+        sinks.append(AzureMLSink())
     logger = JsonProgressLogger(log_interval=args.log_interval, sinks=sinks)
     agg = MetricsAggregator()
     # rbg: the TPU-native counter PRNG for dropout keys. threefry mask
@@ -612,6 +636,12 @@ def main(argv=None):
 
     from daspeech_tpu.data.prefetch import prefetch_epoch
 
+    # hung-rank detection: die loudly if no step completes for N seconds
+    # (fairseq distributed_timeout_wrapper.py; off by default)
+    from daspeech_tpu.parallel.multihost import HeartbeatWatchdog
+
+    watchdog = HeartbeatWatchdog(args.heartbeat_timeout)
+
     pending = []   # device-side metrics awaiting a host fetch
 
     def flush_metrics():
@@ -666,6 +696,10 @@ def main(argv=None):
                 state, metrics = step_fn(state, jb, rng)
                 update += 1          # step_fn bumps state.step by exactly 1
                 pending.append(metrics)
+                # the enqueue above blocks once the device's launch queue
+                # backs up, so a wedged chip stops these pings within a
+                # few steps even though dispatch is asynchronous
+                watchdog.ping()
 
                 need_log = update % args.log_interval == 0
                 need_validate = (
@@ -723,6 +757,7 @@ def main(argv=None):
             pass
         raise
     finally:
+        watchdog.stop()
         # make any in-flight async checkpoint durable before exiting
         try:
             ckpt.wait_until_finished()

@@ -198,6 +198,73 @@ def all_gather_host_objects(obj):
             for p in range(gathered.shape[0])]
 
 
+class HeartbeatWatchdog:
+    """Kill the process if training makes no progress within ``timeout``
+    seconds — the reference's ``DistributedTimeoutWrapper``
+    (``fairseq/fairseq/distributed/distributed_timeout_wrapper.py:17-97``)
+    without the nn.Module wrapping: the train loop calls :meth:`ping` after
+    each step instead of routing ``forward`` through a wrapper. On a pod, a
+    single wedged host stalls every collective on every chip with no error;
+    dying loudly lets the cluster restart the job. The JAX runtime's own
+    collective timeouts cover in-compiled-program hangs; this covers
+    host-side hangs too (data loader, checkpoint I/O, rendezvous).
+
+    ``timeout <= 0`` disables (the reference's convention). The timer only
+    arms after the FIRST ping, so cold compiles don't trip it.
+    ``on_timeout`` is injectable for tests; the default dumps all thread
+    stacks to stderr and sends SIGINT to the process.
+    """
+
+    def __init__(self, timeout: float, on_timeout=None):
+        import threading
+
+        self.timeout = timeout
+        self._on_timeout = on_timeout or self._default_on_timeout
+        self._beat = threading.Event()
+        self._stopped = False
+        self._thread = None
+        if timeout and timeout > 0:
+            self._thread = threading.Thread(
+                target=self._watch, args=(os.getpid(),), daemon=True)
+            self._thread.start()
+
+    def ping(self):
+        self._beat.set()
+
+    def stop(self):
+        self._stopped = True
+        self._beat.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    @staticmethod
+    def _default_on_timeout(pid, timeout):
+        import faulthandler
+        import signal
+        import sys
+
+        print(f"[daspeech] heartbeat watchdog: no training progress in "
+              f"{int(timeout)} s — dumping stacks and killing the process "
+              f"(set --heartbeat-timeout -1 to disable)", file=sys.stderr,
+              flush=True)
+        faulthandler.dump_traceback(file=sys.stderr)
+        os.kill(pid, signal.SIGINT)
+
+    def _watch(self, pid):
+        self._beat.wait()                 # arm on the first step only
+        while True:
+            if self._stopped:
+                return
+            self._beat.clear()
+            alive = self._beat.wait(timeout=self.timeout)
+            if self._stopped:
+                return
+            if not alive:
+                self._on_timeout(pid, self.timeout)
+                return
+
+
 def broadcast_host(value):
     """Broadcast process 0's host value to all processes
     (``multihost_utils.broadcast_one_to_all`` ≡ ``distributed/utils.py``

@@ -166,6 +166,62 @@ class WandBSink:
         self._run.finish()
 
 
+class AimSink:
+    """Aim progress sink (``logging/progress_bar.py::AimProgressBarWrapper``,
+    ``:340-403``). Import-gated like :class:`WandBSink`; same
+    ``(stats, step, tag)`` call protocol. ``run_hash`` appends to an
+    existing run (the reference additionally queries by checkpoint dir —
+    pass the hash explicitly here)."""
+
+    def __init__(self, repo: str, run_hash: str = None):
+        try:
+            from aim import Run
+        except ImportError as e:
+            raise ImportError(
+                "AimSink requires the `aim` package (pip install aim)"
+            ) from e
+        self._run = Run(run_hash=run_hash, repo=repo)
+
+    def __call__(self, stats: Dict[str, Any], step: int, tag: str):
+        context = {"tag": tag}
+        if "train" in tag:
+            context["subset"] = "train"
+        elif "val" in tag:
+            context["subset"] = "val"
+        for k, v in stats.items():
+            if isinstance(v, (int, float)) and k not in ("epoch", "update"):
+                self._run.track(v, name=k, step=step, context=context)
+
+    def close(self):
+        self._run.close()
+
+
+class AzureMLSink:
+    """Azure ML progress sink
+    (``logging/progress_bar.py::AzureMLProgressBarWrapper``, ``:537-582``).
+    Uses the ambient run context (``Run.get_context()``), logging each
+    stat as a named metric with the step attached."""
+
+    def __init__(self):
+        try:
+            from azureml.core import Run
+        except ImportError as e:
+            raise ImportError(
+                "AzureMLSink requires the `azureml-core` package "
+                "(pip install azureml-core)") from e
+        self._run = Run.get_context()
+
+    def __call__(self, stats: Dict[str, Any], step: int, tag: str):
+        # log_row with an explicit step column, the reference's scheme
+        # (``progress_bar.py:569-582``)
+        for k, v in stats.items():
+            if isinstance(v, (int, float)) and k not in ("epoch", "update"):
+                self._run.log_row(name=f"{tag}/{k}", **{"step": step, k: v})
+
+    def close(self):
+        self._run.complete()
+
+
 @contextlib.contextmanager
 def aggregate():
     agg = MetricsAggregator()

@@ -225,3 +225,50 @@ class TestShardedValidation:
                             fake_allgather)
         got = mh.all_gather_host_objects(objs[0])
         assert got == objs
+
+
+class TestHeartbeatWatchdog:
+    """Hung-rank detection (``distributed_timeout_wrapper.py:17-97``
+    equivalent): fires after ``timeout`` seconds without a ping, never
+    before the first ping (cold compiles), and never once stopped."""
+
+    def _make(self, timeout):
+        fired = []
+        wd = mh.HeartbeatWatchdog(
+            timeout, on_timeout=lambda pid, t: fired.append((pid, t)))
+        return wd, fired
+
+    def test_fires_without_progress(self):
+        import time
+
+        wd, fired = self._make(0.15)
+        wd.ping()                      # arm
+        time.sleep(0.6)
+        assert fired, "watchdog did not fire after timeout"
+        wd.stop()
+
+    def test_pings_keep_it_alive(self):
+        import time
+
+        wd, fired = self._make(0.4)
+        for _ in range(6):
+            wd.ping()
+            time.sleep(0.1)
+        assert not fired
+        wd.stop()
+        time.sleep(0.5)
+        assert not fired, "fired after stop()"
+
+    def test_unarmed_until_first_ping(self):
+        import time
+
+        wd, fired = self._make(0.1)
+        time.sleep(0.4)                # cold-compile window: no pings yet
+        assert not fired
+        wd.stop()
+
+    def test_disabled_when_nonpositive(self):
+        wd, fired = self._make(-1)
+        assert wd._thread is None
+        wd.ping(); wd.stop()
+        assert not fired
