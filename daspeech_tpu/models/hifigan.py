@@ -60,6 +60,69 @@ def prefer_direct_dilated(C: int, f: int, k: int, d: int) -> bool:
     return False
 
 
+def prefer_decimated(C: int, f: int, k: int, d: int) -> bool:
+    """Per-conv gate for the decimated-dilated formulation (below) —
+    MEASURED NEGATIVE in situ (round 4), so always False; the alternate
+    stays exactness-tested via ``decimated_dilated_conv``.
+
+    The idea: a dilation-d conv only connects samples of equal residue
+    mod d, so it splits EXACTLY into d independent dense k-tap convs over
+    the stride-d subsequences; folded by f those execute ~(k-1)/f+1
+    frame-taps instead of ~(k-1)*d/f+1 (k=11 d=5 f=2: 27 -> 7, a 3.9x
+    executed-FLOP cut). XLA's cost analysis confirmed the cut (L2
+    1027 -> 651, L3 665 -> 483 GFLOP) — and the level still ran 5-11x
+    SLOWER (L2 6.6 -> 32.4 ms at 20 TF/s, L3 5.1 -> 57.3 ms at 8 TF/s,
+    tools/profile_vocoder.py). The xplane trace shows why: the
+    [B, M, d, C] <-> [B, d, M, C] phase transposes lower to sub-lane
+    relayout copies (minor dim C=32/64 < the 128-lane tile) running at
+    ~10 GB/s — 1.33 ms EACH, ~3 per conv — plus DMA-staged slices; pure
+    data movement swamps the saved matmul time. Isolated, every piece is
+    fast (the [40, 5325, 128] conv runs 54 TF/s, the transpose pair
+    0.48 ms); composed in the generator, XLA's layout assignment turns
+    the shuffles into the dominant cost. A fix would need the phase
+    shuffle to ride the MXU (a [d*f*C]^2 permutation matmul costs ~0.5 ms
+    per conv round trip — still a net loss at these shapes).
+
+    Formulation bound (why this is near the end of the road): with C
+    channels < the 128 MXU lanes, ANY matmul-form execution of a
+    dilation-d conv (d coprime to the fold f) pays >= f x true FLOPs —
+    each tap needs f distinct input blocks to serve the f output phases —
+    and leaving the level unfolded idles (128-C)/128 of the lanes, the
+    same factor. The in-VMEM im2col escape (contract over k*C >= 128)
+    pays k x VMEM moves instead. The dense folded path already averages
+    2.29x (L2) / 2.92x (L3) executed/true against bounds of ~2.0x/2.63x,
+    at 66-79% MFU on the executed FLOPs — i.e. ~85% of the reachable
+    ceiling. With fp32 convs running as single-pass bf16 on the MXU by
+    default (measured: fp32-default == bf16-default == 87 TF/s at L1
+    shapes; Precision.HIGHEST is 3.3x slower), the fp32-parity
+    speed-of-light for config_v1 is ~3,700x RT at 100% MFU on true
+    FLOPs and ~2,000-2,150x at the demonstrated 70-80% MFU."""
+    return False
+
+
+def decimated_dilated_conv(x: jnp.ndarray, kernel: jnp.ndarray, d: int,
+                           f: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Exact SAME-padded dilation-d conv on folded activations [B, G, f*C]
+    via residue decimation: reshape to the d stride-d subsequences (batch
+    axis), run ONE dense k-tap folded conv, and interleave back. Same sums
+    as the dense folded tap form; tested against it bit-for-bit."""
+    B, G, FC = x.shape
+    k, cin, cout = kernel.shape
+    T = G * f
+    xt = x.reshape(B, T, cin)
+    Tp = -(-T // (d * f)) * (d * f)
+    if Tp != T:
+        # trailing zeros reproduce SAME zero padding for the cropped range
+        xt = jnp.pad(xt, ((0, 0), (0, Tp - T), (0, 0)))
+    M = Tp // d
+    xd = (xt.reshape(B, M, d, cin).transpose(0, 2, 1, 3)
+          .reshape(B * d, M // f, f * cin))
+    y = apply_taps(xd, fold_taps(conv_taps(kernel, 1), f, cin, cout), dtype)
+    y = (y.reshape(B, d, M, cout).transpose(0, 2, 1, 3)
+         .reshape(B, Tp, cout)[:, :T])
+    return y.reshape(B, G, f * cout)
+
+
 def direct_dilated_conv(x_folded: jnp.ndarray, kernel: jnp.ndarray,
                         d: int, f: int, dtype=jnp.float32) -> jnp.ndarray:
     """SAME-padded dilated conv on the UNFOLDED view of folded activations
@@ -221,16 +284,17 @@ class ResBlock1(nn.Module):
                 xt = nn.Conv(C, (self.kernel_size,),
                              kernel_dilation=(d,), padding=[(p1, p1)],
                              dtype=self.dtype, name=f"convs1_{i}")(xt)
-            elif prefer_direct_dilated(C, f, self.kernel_size, d):
-                k1, b1 = FoldedConvParams(
-                    (self.kernel_size, C, C), name=f"convs1_{i}")()
-                xt = direct_dilated_conv(xt, k1, d, f, self.dtype) \
-                    + jnp.tile(b1, f)
             else:
                 k1, b1 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs1_{i}")()
-                xt = apply_taps(xt, fold_taps(conv_taps(k1, d), f, C, C),
-                                self.dtype) + jnp.tile(b1, f)
+                if prefer_direct_dilated(C, f, self.kernel_size, d):
+                    xt = direct_dilated_conv(xt, k1, d, f, self.dtype)
+                elif prefer_decimated(C, f, self.kernel_size, d):
+                    xt = decimated_dilated_conv(xt, k1, d, f, self.dtype)
+                else:
+                    xt = apply_taps(
+                        xt, fold_taps(conv_taps(k1, d), f, C, C), self.dtype)
+                xt = xt + jnp.tile(b1, f)
             xt = leaky_relu(xt)
             if f == 1:
                 p2 = (self.kernel_size - 1) // 2
@@ -267,16 +331,17 @@ class ResBlock2(nn.Module):
                 xt = nn.Conv(C, (self.kernel_size,),
                              kernel_dilation=(d,), padding=[(p, p)],
                              dtype=self.dtype, name=f"convs_{i}")(xt)
-            elif prefer_direct_dilated(C, f, self.kernel_size, d):
-                k1, b1 = FoldedConvParams(
-                    (self.kernel_size, C, C), name=f"convs_{i}")()
-                xt = direct_dilated_conv(xt, k1, d, f, self.dtype) \
-                    + jnp.tile(b1, f)
             else:
                 k1, b1 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs_{i}")()
-                xt = apply_taps(xt, fold_taps(conv_taps(k1, d), f, C, C),
-                                self.dtype) + jnp.tile(b1, f)
+                if prefer_direct_dilated(C, f, self.kernel_size, d):
+                    xt = direct_dilated_conv(xt, k1, d, f, self.dtype)
+                elif prefer_decimated(C, f, self.kernel_size, d):
+                    xt = decimated_dilated_conv(xt, k1, d, f, self.dtype)
+                else:
+                    xt = apply_taps(
+                        xt, fold_taps(conv_taps(k1, d), f, C, C), self.dtype)
+                xt = xt + jnp.tile(b1, f)
             x = x + xt
         return x
 

@@ -302,6 +302,7 @@ class TestTTSSpeakerPlumbing:
                             tok_cap=8, mel_cap=64, batch=4)
         np.testing.assert_array_equal(batch["speaker"], [0, 1, 0, 0])
 
+    @pytest.mark.slow  # ~35 s: two full multi-speaker criterion evaluations
     def test_criterion_is_speaker_dependent(self, tmp_path):
         import dataclasses
 

@@ -119,6 +119,7 @@ class TestCTCOracle:
 
 
 class TestModelIntegration:
+    @pytest.mark.slow  # ~55 s: full FastSpeech2 + criterion forward/backward
     def test_ctc_head_and_criterion(self):
         from daspeech_tpu.core.config import FastSpeech2Config
         from daspeech_tpu.losses.tts_loss import fastspeech2_criterion

@@ -179,6 +179,7 @@ class TestFusedAttentionPacked:
 
 
 class TestFusedAttentionFullBias:
+    @pytest.mark.slow  # ~20 s; the packed/per-(b,h) oracle tests stay fast
     def test_forward_and_grads_match_oracle(self):
         rng = np.random.default_rng(9)
         B, H, Tq, Tk, d = 2, 2, 9, 12, 16

@@ -73,6 +73,7 @@ class TestFusedMRF:
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
             assert a.shape == b.shape
 
+    @pytest.mark.slow  # ~45 s: sweeps tile sizes over the interpreted kernel
     def test_tile_boundaries_exact(self, setup):
         """Different tile sizes give the same answer (halo exchange)."""
         cfg, mel, ref_model, params = setup
@@ -84,6 +85,7 @@ class TestFusedMRF:
         np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow  # ~18 s; test_matches_folded_path stays in the fast tier
     def test_non_divisible_length_padded(self, setup):
         """G not a multiple of the tile: padded run == unfused run."""
         cfg, mel, ref_model, params = setup
@@ -104,6 +106,21 @@ class TestFusedMRF:
         cfg, mel, ref_model, params = setup
         want = ref_model.apply(params, mel)
         monkeypatch.setattr(hg, "prefer_direct_dilated",
+                            lambda C, f, k, d: f > 1 and d > 1)
+        got = HiFiGANGenerator(cfg, fold_to=128).apply(params, mel)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_decimated_alternate_matches(self, setup, monkeypatch):
+        """The decimated-dilated alternate (prefer_decimated is a measured
+        in-situ negative — sub-lane relayout copies at ~10 GB/s swamp the
+        3.9x executed-FLOP cut, see models/hifigan.py — default off) must
+        stay numerically equal to the folded tap form when forced on."""
+        import daspeech_tpu.models.hifigan as hg
+
+        cfg, mel, ref_model, params = setup
+        want = ref_model.apply(params, mel)
+        monkeypatch.setattr(hg, "prefer_decimated",
                             lambda C, f, k, d: f > 1 and d > 1)
         got = HiFiGANGenerator(cfg, fold_to=128).apply(params, mel)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
