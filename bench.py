@@ -4,6 +4,8 @@ Emits one JSON line per BASELINE.md config (1-5), headline LAST (the driver
 parses the final line):
 
   1 vocoder_rtf          HiFi-GAN config_v1 mel->wav (folded serving path)
+    vocoder_int8_rtf     same, opt-in W8A8 serving mode (static calibrated
+                         activation scales; quality delta in COVERAGE.md)
   2 fastspeech2_rtf      phoneme->mel synthesis
   3 s2tt_decode_rtf      Conformer-DAG forward + lookahead decode
   5 dag_train_step_ms    full nat_dag_loss fwd+bwd+Adam at max-tokens 40k,
@@ -193,6 +195,31 @@ def main():
                     "value": round(audio_seconds / dt, 2),
                     "unit": "x_realtime", "vs_baseline": None})
 
+    # --- config 1b: vocoder, opt-in int8 serving mode (W8A8, static
+    # calibrated activation scales; fp32 parity path above stays default)
+    try:
+        voc_q = HiFiGANGenerator(HiFiGANConfig(), fold_to=128,
+                                 quant_int8=True)
+        voc_qc = HiFiGANGenerator(HiFiGANConfig(), fold_to=128,
+                                  quant_int8=True, calibrate=True)
+        vq = fast_init(voc_q, jax.random.key(1),
+                       lambda m: m(jnp.zeros((B, M, 80))))
+        _, upd = jax.jit(lambda v, m: voc_qc.apply(
+            v, m, mutable=["quant"]))({"params": vparams["params"],
+                                       "quant": vq["quant"]}, o2)
+        vq = {"params": vparams["params"], "quant": upd["quant"]}
+        stage3_q = jax.jit(lambda mel: voc_q.apply(vq, mel))
+        t = time.perf_counter()
+        sync(stage3_q(o2))
+        log(f"stage3 int8 compiled in {time.perf_counter()-t:.0f}s")
+        dt = timeit(stage3_q, o2)
+        results.append({"metric": "hifigan_vocoder_int8_rtf",
+                        "value": round(audio_seconds / dt, 2),
+                        "unit": "x_realtime", "vs_baseline": None})
+    except Exception as e:
+        log(f"int8 vocoder bench failed: {type(e).__name__}: {e}")
+        stage3_q = None
+
     # --- config 5: DAG training step at max-tokens 40000
     try:
         train_rec = bench_train_step()
@@ -211,6 +238,20 @@ def main():
         results.append(bench_vocoder_train_step())
     except Exception as e:
         log(f"vocoder-train bench failed: {type(e).__name__}: {e}")
+
+    # --- e2e with the int8 vocoder (opt-in serving mode)
+    if stage3_q is not None:
+        def s2st_q(fbank, src_lengths, prev, durs):
+            tokens, z, zmask = stage1(fbank, src_lengths, prev)
+            mel = stage2(z, zmask, durs)
+            return tokens, mel, stage3_q(mel)
+
+        sync(s2st_q(fbank, src_lengths, prev, durs))
+        dt = timeit(s2st_q, fbank, src_lengths, prev, durs)
+        results.append({"metric": "e2e_s2st_int8_rtf_x_realtime",
+                        "value": round(audio_seconds / dt, 2),
+                        "unit": "x_realtime",
+                        "vs_baseline": round(audio_seconds / dt / 10.0, 3)})
 
     # --- config 4 (headline, LAST): full two-pass S2ST
     sync(s2st(fbank, src_lengths, prev, durs))

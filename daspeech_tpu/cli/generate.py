@@ -120,6 +120,12 @@ def parse_args(argv=None):
                         "(``vocoder.py:30-165``/``get_vocoder``); auto = "
                         "hifigan when a checkpoint is given, else the "
                         "data config's vocoder type, else none")
+    p.add_argument("--vocoder-quant", default="none",
+                   choices=["none", "int8"],
+                   help="opt-in int8 vocoder serving mode (W8A8, static "
+                        "activation scales calibrated on the first batch; "
+                        "~1.6x faster on TPU at ~27 dB SNR vs the fp32 "
+                        "path — models/hifigan.py)")
     p.add_argument("--vocoder-torch", default=None,
                    help="torch HiFi-GAN generator .pt (weight-normed) to "
                         "import (the reference's VCTK_V1 release format)")
@@ -463,8 +469,12 @@ def _load_vocoder_and_gcmvn(args, task):
 
         hifi_cfg = HiFiGANConfig()
         # fold_to=128: space-to-depth serving path, ~2x faster on TPU with
-        # identical output (models/hifigan.py)
-        vocoder = HiFiGANGenerator(hifi_cfg, fold_to=128)
+        # identical output (models/hifigan.py); --vocoder-quant int8 adds
+        # the W8A8 mode on top (first-batch calibration happens in
+        # decode/speech_generator.py::make_vocode_fn)
+        vocoder = HiFiGANGenerator(
+            hifi_cfg, fold_to=128,
+            quant_int8=getattr(args, "vocoder_quant", "none") == "int8")
         if args.vocoder_torch:
             import torch
 

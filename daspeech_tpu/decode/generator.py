@@ -292,7 +292,7 @@ class S2SNATGenerator(S2TNATGenerator):
                 d_factor=d_factor)
             mel_final = mel_post if mel_post is not None else mel
             wav = None
-            if voc is not None:
+            if _vocode_in_jit(voc):
                 mel_voc = (mel_final if gstats is None
                            else mel_final * gstats[1] + gstats[0])
                 wav = voc.apply(vparams, mel_voc)
@@ -320,6 +320,11 @@ class S2SNATGenerator(S2TNATGenerator):
         res, mel, mel_lens, wav = self._jitted["s2s"](
             params, self.reranker_params, batch["fbank"],
             batch["src_lengths"], prev)
+        if wav is None and generate_waveform and self.vocoder is not None:
+            if getattr(self, "_vocode_fn", None) is None:
+                self._vocode_fn = make_vocode_fn(
+                    self.vocoder, self.vocoder_params, self.gcmvn)
+            wav = self._vocode_fn(mel)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         mel = np.asarray(mel)

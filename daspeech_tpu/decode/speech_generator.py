@@ -18,6 +18,58 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_vocode_fn(voc, vparams, gcmvn):
+    """jitted mel -> waveform closure for vocoding OUTSIDE a generator's
+    fused jit (gcmvn denormalization happens inside, before the vocoder,
+    as in ``speech_generator.py``'s gcmvn_denormalize -> get_waveform).
+
+    Exists for the int8 serving vocoder (``HiFiGANGenerator(
+    quant_int8=True)``): its static activation scales are calibrated on
+    the first real mel batch at the Python level — a traced mel inside
+    the fused generation jit could not produce concrete scales. The
+    fp32 vocoder keeps its fused in-jit path and never comes through
+    here."""
+    if voc is None:
+        return None
+    gstats = (None if gcmvn is None else
+              (jnp.asarray(gcmvn.mean), jnp.asarray(gcmvn.std)))
+    params = (vparams.get("params", vparams)
+              if isinstance(vparams, dict) else vparams)
+
+    @jax.jit
+    def serve(variables, mel):
+        mel_voc = mel if gstats is None else mel * gstats[1] + gstats[0]
+        return voc.apply(variables, mel_voc)
+
+    if not getattr(voc, "quant_int8", False):
+        variables = vparams
+        return lambda mel: serve(variables, mel)
+
+    calib = voc.clone(calibrate=True)
+
+    @jax.jit
+    def calibrate(mel):
+        mel_voc = mel if gstats is None else mel * gstats[1] + gstats[0]
+        _, upd = calib.apply({"params": params}, mel_voc,
+                             mutable=["quant"])
+        return upd["quant"]
+
+    state = {}
+
+    def fn(mel):
+        if "v" not in state:
+            state["v"] = {"params": params, "quant": calibrate(mel)}
+        return serve(state["v"], mel)
+
+    return fn
+
+
+def _vocode_in_jit(voc) -> bool:
+    """True when the vocoder can run inside the fused generation jit
+    (everything except the lazily-calibrated int8 serving mode)."""
+    return voc is not None and not getattr(voc, "quant_int8", False)
+
+
 class NonAutoregressiveSpeechGenerator:
     """``NonAutoregressiveSpeechGenerator`` with the ``generate_waveform``
     flag of the modified variant (``speech_generator_modified.py:96-150``)."""
@@ -50,7 +102,7 @@ class NonAutoregressiveSpeechGenerator:
                 d_factor=d_factor, speaker=speaker)
             mel_final = mel_post if mel_post is not None else mel
             wav = None
-            if voc is not None:
+            if _vocode_in_jit(voc):
                 mel_voc = (mel_final if gstats is None
                            else mel_final * gstats[1] + gstats[0])
                 wav = voc.apply(vparams, mel_voc)
@@ -66,6 +118,11 @@ class NonAutoregressiveSpeechGenerator:
         if speaker is None:
             speaker = jnp.zeros((batch["src_tokens"].shape[0],), jnp.int32)
         mel, out_lens, wav = self._fn(params, batch["src_tokens"], speaker)
+        if wav is None and generate_waveform and self.vocoder is not None:
+            if getattr(self, "_vocode_fn", None) is None:
+                self._vocode_fn = make_vocode_fn(
+                    self.vocoder, self.vocoder_params, self.gcmvn)
+            wav = self._vocode_fn(mel)
         mel = np.asarray(mel)
         out_lens = np.asarray(out_lens)
         out = []
@@ -249,7 +306,7 @@ class AutoRegressiveSpeechGenerator:
             mel, lens = model.apply(
                 params, src_tokens, M, thr, method=model.generate)
             wav = None
-            if voc is not None:
+            if _vocode_in_jit(voc):
                 mel_voc = (mel if gstats is None
                            else mel * gstats[1] + gstats[0])
                 wav = voc.apply(vparams, mel_voc)
@@ -261,6 +318,11 @@ class AutoRegressiveSpeechGenerator:
         if self._fn is None:
             self._fn = self._build()
         mel, lens, wav = self._fn(params, batch["src_tokens"])
+        if wav is None and generate_waveform and self.vocoder is not None:
+            if getattr(self, "_vocode_fn", None) is None:
+                self._vocode_fn = make_vocode_fn(
+                    self.vocoder, self.vocoder_params, self.gcmvn)
+            wav = self._vocode_fn(mel)
         mel = np.asarray(mel)
         lens = np.asarray(lens)
         wav_np = None if wav is None else np.asarray(wav)  # one transfer

@@ -199,6 +199,117 @@ def apply_taps(x: jnp.ndarray, taps, dtype=jnp.float32) -> jnp.ndarray:
         dimension_numbers=("NWC", "WIO", "NWC"))
 
 
+# --------------------------------------------------------------------------
+# int8 serving path (opt-in, `HiFiGANGenerator(quant_int8=True)`).
+#
+# Measured on one v5e at the folded serving shapes: the dense folded convs
+# run 1.65-1.7x faster in int8 (193 vs 118 TF/s isolated; the v5e MXU does
+# 394 TOPS int8 vs 197 TFLOPS bf16), AND the fp32 path is partially
+# HBM-bound (L3 fully: 19 convs x 2 x 109 MB = 4.1 GB = 5.1 ms at 819 GB/s
+# vs 5.13 ms measured), which int8 activations cut 4x. Scheme: symmetric
+# per-tensor dynamic activation scales, per-output-channel weight scales,
+# int32 MXU accumulation, dequantized residual spine in `dtype`. This mode
+# trades waveform parity for speed — the fp32 folded path stays the
+# default; quality vs fp32 is measured and documented in COVERAGE.md.
+
+
+def quantize_sym(x: jnp.ndarray, per_channel: bool = False):
+    """Symmetric int8 quantization -> (q, scale). ``per_channel`` scales
+    per trailing output channel (weights); otherwise one scale per tensor
+    (activations, computed dynamically on device)."""
+    if per_channel:
+        amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)))
+    else:
+        amax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dense_tap_kernel(taps):
+    """Tap list -> (dense [W, C_in, C_out] kernel, (lo, hi) padding)."""
+    offs = [d for d, _ in taps]
+    lo, hi = -min(offs), max(offs)
+    zero = jnp.zeros_like(taps[0][1])
+    by_off = dict(taps)
+    kernel = jnp.stack([by_off.get(d, zero)
+                        for d in range(min(offs), max(offs) + 1)])
+    return kernel, (lo, hi)
+
+
+def conv_int8(x: jnp.ndarray, kernel: jnp.ndarray, pad, dilation: int = 1,
+              out_dtype=jnp.float32, x_scale=None) -> jnp.ndarray:
+    """SAME-ish padded conv on the int8 MXU path: quantize activations
+    and weights (per output channel), accumulate in int32, dequantize to
+    ``out_dtype``.
+
+    ``x_scale``: static calibrated activation scale (a scalar). Dynamic
+    per-tensor quantization (``None``) was MEASURED SLOWER than fp32 in
+    situ on a v5e (25.8 vs 22.4 ms for the full generator): the global
+    max-reduction forces the producer's fp32 tensor through HBM three
+    extra times per conv (write f32 / reduce / re-read to quantize),
+    which outweighs the 2x MXU rate. With a static scale the f32->int8
+    cast fuses into the producing elementwise chain and the fp32
+    activation never reaches HBM."""
+    wq, sw = quantize_sym(kernel, per_channel=True)
+    if x_scale is None:
+        xq, sx = quantize_sym(x)
+    else:
+        sx = x_scale
+        xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (1,), [pad], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+
+def apply_taps_int8(x: jnp.ndarray, taps, out_dtype=jnp.float32,
+                    x_scale=None):
+    """int8 variant of ``apply_taps`` (same dense folded kernel, quantized
+    execution)."""
+    kernel, pad = _dense_tap_kernel(taps)
+    return conv_int8(x, kernel, pad, 1, out_dtype, x_scale)
+
+
+def select_conv(xt, kernel, d, *, C, f, quant, dtype, x_scale=None):
+    """One dilated conv on the selected backend — int8 serving path,
+    folded tap form, or the measured-negative alternates — without bias.
+    ``kernel`` is the unfolded [k, C, C] parameter."""
+    k = kernel.shape[0]
+    if quant:
+        if f == 1:
+            p = (k - 1) // 2 * d
+            return conv_int8(xt, kernel, (p, p), d, dtype, x_scale)
+        return apply_taps_int8(
+            xt, fold_taps(conv_taps(kernel, d), f, C, C), dtype, x_scale)
+    if prefer_direct_dilated(C, f, k, d):
+        return direct_dilated_conv(xt, kernel, d, f, dtype)
+    if prefer_decimated(C, f, k, d):
+        return decimated_dilated_conv(xt, kernel, d, f, dtype)
+    return apply_taps(xt, fold_taps(conv_taps(kernel, d), f, C, C), dtype)
+
+
+def act_scale(mod: nn.Module, name: str, x: jnp.ndarray, calibrate: bool):
+    """Per-site activation amax in the ``quant`` variable collection.
+
+    Calibration flow: ``init()`` (and any ``apply(..., calibrate=True,
+    mutable=["quant"])`` pass) records a running max|x| per conv site and
+    quantizes dynamically; a later plain ``apply({"params": ..., "quant":
+    ...})`` uses the stored STATIC scale, which is what makes the int8
+    path faster than fp32 (see ``conv_int8``). Returns ``None`` while
+    calibrating (= use dynamic per-tensor quantization this pass)."""
+    v = mod.variable("quant", name, lambda: jnp.zeros((), jnp.float32))
+    if calibrate or mod.is_initializing():
+        if not mod.is_mutable_collection("quant"):
+            raise ValueError(
+                "calibrate=True needs apply(..., mutable=['quant'])")
+        v.value = jnp.maximum(
+            v.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        return None
+    return jnp.maximum(v.value, 1e-8) / 127.0
+
+
 class FoldedConvParams(nn.Module):
     """Parameter container matching ``nn.Conv``'s {kernel, bias} tree so
     folded execution stays checkpoint-compatible."""
@@ -262,6 +373,8 @@ class ResBlock1(nn.Module):
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: jnp.dtype = jnp.float32
     fold: int = 1
+    quant: bool = False            # int8 serving path (see conv_int8)
+    calibrate: bool = False        # record activation amax (see act_scale)
     collect_params: bool = False   # return (k1,b1,k2,b2) per iteration
     # instead of computing (the fused MRF kernel consumes the raw taps;
     # declaring the same FoldedConvParams keeps the param tree identical)
@@ -279,7 +392,7 @@ class ResBlock1(nn.Module):
                 collected.append((k1, b1, k2, b2))
                 continue
             xt = leaky_relu(x)
-            if f == 1:
+            if f == 1 and not self.quant:
                 p1 = (self.kernel_size - 1) // 2 * d
                 xt = nn.Conv(C, (self.kernel_size,),
                              kernel_dilation=(d,), padding=[(p1, p1)],
@@ -287,16 +400,13 @@ class ResBlock1(nn.Module):
             else:
                 k1, b1 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs1_{i}")()
-                if prefer_direct_dilated(C, f, self.kernel_size, d):
-                    xt = direct_dilated_conv(xt, k1, d, f, self.dtype)
-                elif prefer_decimated(C, f, self.kernel_size, d):
-                    xt = decimated_dilated_conv(xt, k1, d, f, self.dtype)
-                else:
-                    xt = apply_taps(
-                        xt, fold_taps(conv_taps(k1, d), f, C, C), self.dtype)
-                xt = xt + jnp.tile(b1, f)
+                s1 = (act_scale(self, f"convs1_{i}_amax", xt,
+                                self.calibrate) if self.quant else None)
+                xt = select_conv(xt, k1, d, C=C, f=f, quant=self.quant,
+                                 dtype=self.dtype, x_scale=s1) \
+                    + jnp.tile(b1, f)
             xt = leaky_relu(xt)
-            if f == 1:
+            if f == 1 and not self.quant:
                 p2 = (self.kernel_size - 1) // 2
                 xt = nn.Conv(C, (self.kernel_size,),
                              padding=[(p2, p2)], dtype=self.dtype,
@@ -304,8 +414,11 @@ class ResBlock1(nn.Module):
             else:
                 k2, b2 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs2_{i}")()
-                xt = apply_taps(xt, fold_taps(conv_taps(k2, 1), f, C, C),
-                                self.dtype) + jnp.tile(b2, f)
+                s2 = (act_scale(self, f"convs2_{i}_amax", xt,
+                                self.calibrate) if self.quant else None)
+                xt = select_conv(xt, k2, 1, C=C, f=f, quant=self.quant,
+                                 dtype=self.dtype, x_scale=s2) \
+                    + jnp.tile(b2, f)
             x = x + xt
         if self.collect_params:
             return collected
@@ -320,13 +433,15 @@ class ResBlock2(nn.Module):
     dilations: Tuple[int, ...] = (1, 3)
     dtype: jnp.dtype = jnp.float32
     fold: int = 1
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x):
         C, f = self.channels, self.fold
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x)
-            if f == 1:
+            if f == 1 and not self.quant:
                 p = (self.kernel_size - 1) // 2 * d
                 xt = nn.Conv(C, (self.kernel_size,),
                              kernel_dilation=(d,), padding=[(p, p)],
@@ -334,14 +449,11 @@ class ResBlock2(nn.Module):
             else:
                 k1, b1 = FoldedConvParams(
                     (self.kernel_size, C, C), name=f"convs_{i}")()
-                if prefer_direct_dilated(C, f, self.kernel_size, d):
-                    xt = direct_dilated_conv(xt, k1, d, f, self.dtype)
-                elif prefer_decimated(C, f, self.kernel_size, d):
-                    xt = decimated_dilated_conv(xt, k1, d, f, self.dtype)
-                else:
-                    xt = apply_taps(
-                        xt, fold_taps(conv_taps(k1, d), f, C, C), self.dtype)
-                xt = xt + jnp.tile(b1, f)
+                s1 = (act_scale(self, f"convs_{i}_amax", xt,
+                                self.calibrate) if self.quant else None)
+                xt = select_conv(xt, k1, d, C=C, f=f, quant=self.quant,
+                                 dtype=self.dtype, x_scale=s1) \
+                    + jnp.tile(b1, f)
             x = x + xt
         return x
 
@@ -360,6 +472,17 @@ class HiFiGANGenerator(nn.Module):
     cfg: HiFiGANConfig
     dtype: jnp.dtype = jnp.float32
     fold_to: int = 0
+    # int8 serving path (opt-in; see conv_int8 above): all upsample and
+    # MRF convs run quantized W8A8 on the int8 MXU; conv_pre/conv_post and
+    # the residual spine stay in `dtype`. Parameter tree unchanged —
+    # weights quantize on the fly at dispatch (the kernels are tiny).
+    # NOT the default: it trades the 2.5e-4 torch waveform parity for
+    # speed (quality vs fp32 measured in COVERAGE.md). Activation scales
+    # live in the "quant" variable collection; init() records a first
+    # calibration, apply(..., calibrate=True, mutable=["quant"]) refines
+    # it (see act_scale).
+    quant_int8: bool = False
+    calibrate: bool = False
     # Pallas fused MRF levels (alternate backend, off by default): when a
     # level's folded view is exactly one lane tile (f*ch == 128), run its
     # 18-conv ResBlock stack in one VMEM-resident kernel (ops/fused_mrf.py)
@@ -399,7 +522,13 @@ class HiFiGANGenerator(nn.Module):
                     (k, x.shape[-1] // f, ch), name=f"ups_{i}")()
                 taps = convT_subpixel_taps(kernel, u, (k - u) // 2)
                 taps = fold_taps(taps, f, x.shape[-1] // f, u * ch)
-                x = apply_taps(x, taps, self.dtype) + jnp.tile(bias, f * u)
+                if self.quant_int8:
+                    su = act_scale(self, f"ups_{i}_amax", x, self.calibrate)
+                    x = apply_taps_int8(x, taps, self.dtype, su) \
+                        + jnp.tile(bias, f * u)
+                else:
+                    x = apply_taps(x, taps, self.dtype) \
+                        + jnp.tile(bias, f * u)
                 # [B, G, f*u*ch] is time-major: refold to f_next for free
                 x = x.reshape(B, -1, f_next * ch)
             else:
@@ -435,7 +564,8 @@ class HiFiGANGenerator(nn.Module):
                 for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                                  c.resblock_dilation_sizes)):
                     block = res_cls(ch, rk, tuple(rd), dtype=self.dtype,
-                                    fold=f,
+                                    fold=f, quant=self.quant_int8,
+                                    calibrate=self.calibrate,
                                     name=f"resblocks_{i * num_kernels + j}")(x)
                     xs = block if xs is None else xs + block
                 x = xs / num_kernels

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--M", type=int, default=416)
     ap.add_argument("--fused", action="store_true",
                     help="fused Pallas MRF levels (ops/fused_mrf.py)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 serving path (quant_int8=True)")
     ap.add_argument("--mrf-tile", type=int, default=1024)
     args = ap.parse_args()
 
@@ -43,11 +45,18 @@ def main():
 
     cfg = HiFiGANConfig()
     voc = HiFiGANGenerator(cfg, fold_to=args.fold_to, fused_mrf=args.fused,
-                           mrf_tile=args.mrf_tile)
+                           mrf_tile=args.mrf_tile, quant_int8=args.quant)
     B, M = args.B, args.M
     mel = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, M, 80)).astype(np.float32))
     vparams = fast_init(voc, jax.random.key(1), lambda m: m(mel))
+    if args.quant:
+        # replace fast_init's junk amax leaves with a real calibration pass
+        calib = HiFiGANGenerator(cfg, fold_to=args.fold_to, quant_int8=True,
+                                 calibrate=True)
+        _, upd = jax.jit(
+            lambda v, m: calib.apply(v, m, mutable=["quant"]))(vparams, mel)
+        vparams = {"params": vparams["params"], "quant": upd["quant"]}
     audio_s = B * M * 256 / 22050.0
 
     stops = [-2] + list(range(len(cfg.upsample_rates))) + [-1]
