@@ -458,6 +458,57 @@ class ResBlock2(nn.Module):
         return x
 
 
+def receptive_halo_mel(cfg: HiFiGANConfig) -> int:
+    """Conservative one-sided receptive field of the generator in MEL
+    frames. An output sample depends on at most this many mel frames to
+    each side; it is the exactness halo for chunked/streaming vocoding
+    (config_v1: 15 frames ~ 0.17 s)."""
+    halo = (7 - 1) // 2  # conv_post, at the output sample rate
+    for u, k in reversed(list(zip(cfg.upsample_rates,
+                                  cfg.upsample_kernel_sizes))):
+        halo += max(
+            sum((rk - 1) // 2 * d + (rk - 1) // 2 for d in rd)
+            for rk, rd in zip(cfg.resblock_kernel_sizes,
+                              cfg.resblock_dilation_sizes))
+        # through the stride-u transposed conv: input index range for
+        # output o is [(o + p - k + 1) / u, (o + p) / u], p = (k-u)//2
+        halo = -(-(halo + k - 1) // u)
+    return halo + (7 - 1) // 2  # conv_pre
+
+
+def vocode_chunked(voc: "HiFiGANGenerator", variables, mel: jnp.ndarray,
+                   chunk: int = 64, halo: int | None = None) -> jnp.ndarray:
+    """EXACT chunked vocoding: bit-identical samples to the one-shot
+    forward (``tests/test_hifigan_chunked.py``).
+
+    Streaming serving needs latency of one chunk, not one utterance; the
+    reference's HiFi-GAN has no streaming mode (``inference_e2e.py``
+    vocodes whole utterances). Each chunk's mel window is extended by the
+    receptive-field halo so interior samples see their true context, and
+    chunks at the sequence ends keep the one-shot forward's own zero
+    padding (every conv SAME-pads its activations there, exactly as in
+    the full run). Output chunks are cropped to [s, e)*prod(u) and
+    concatenated. At most three window shapes compile (first/middle/
+    last). Works for the fp32 path and for ``quant_int8`` with frozen
+    static scales (per-window math is position-independent)."""
+    if halo is None:
+        halo = receptive_halo_mel(voc.cfg)
+    B, M, _ = mel.shape
+    hop = 1
+    for u in voc.cfg.upsample_rates:
+        hop *= u
+    if M <= chunk:
+        return voc.apply(variables, mel)
+    run = jax.jit(lambda m: voc.apply(variables, m))
+    outs = []
+    for s in range(0, M, chunk):
+        e = min(s + chunk, M)
+        ws, we = max(0, s - halo), min(M, e + halo)
+        w = run(mel[:, ws:we])
+        outs.append(w[:, (s - ws) * hop:(e - ws) * hop])
+    return jnp.concatenate(outs, axis=1)
+
+
 class HiFiGANGenerator(nn.Module):
     """``Generator`` (``models.py:75-125``).
 
