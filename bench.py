@@ -77,20 +77,51 @@ def sync(out):
     np.asarray(jax.device_get(x.ravel()[:1] if x.ndim else x))
 
 
+LAST_REPS_MS = []   # per-rep means of the most recent timeit() call
+
+
 def timeit(fn, *args, n=30, reps=3):
     """Throughput timing: n enqueued calls closed by one forced
     device->host read; best of ``reps`` repetitions (the remote-TPU
-    tunnel adds run-to-run jitter that min() filters out)."""
+    tunnel adds run-to-run jitter that min() filters out). The per-rep
+    means land in ``LAST_REPS_MS`` so records can publish their spread —
+    r03->r04 saw -26%/-32% component-RTF moves that were pure ~1 ms
+    dispatch-floor drift, indistinguishable from regression without it."""
     out = fn(*args)
     sync(out)
-    best = float("inf")
+    rep_times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(n):
             out = fn(*args)
         sync(out)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+        rep_times.append((time.perf_counter() - t0) / n)
+    LAST_REPS_MS[:] = [round(r * 1e3, 3) for r in rep_times]
+    return min(rep_times)
+
+
+def spread():
+    """ms spread fields of the most recent timeit() (best/median/worst)."""
+    s = sorted(LAST_REPS_MS)
+    return {"ms_best": s[0], "ms_median": s[len(s) // 2], "ms_worst": s[-1]}
+
+
+def measure_dispatch_floor():
+    """The tunnel's per-dispatch floor: round-trip of a trivial jit with a
+    forced scalar read per call. Component RTFs on 2-4 ms stages ride on
+    this floor (documented ~1.2-1.5 ms), so every bench run reports it —
+    a +-1 ms floor drift moves those RTFs tens of percent at flat e2e."""
+    tiny = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    sync(tiny(x))
+    ts = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        sync(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return {"dispatch_floor_ms": round(ts[len(ts) // 2] * 1e3, 3),
+            "dispatch_floor_best_ms": round(ts[0] * 1e3, 3)}
 
 
 def main():
@@ -163,6 +194,9 @@ def main():
 
     audio_seconds = B * M * 256 / 22050.0
     results = []
+    floor = measure_dispatch_floor()
+    log(f"dispatch floor: {floor['dispatch_floor_ms']} ms (median), "
+        f"{floor['dispatch_floor_best_ms']} ms (best)")
 
     t = time.perf_counter()
     o1 = stage1(fbank, src_lengths, prev)
@@ -181,19 +215,45 @@ def main():
     speech_seconds = B * S * 0.01
     results.append({"metric": "s2tt_lookahead_decode_rtf",
                     "value": round(speech_seconds / dt, 2),
-                    "unit": "x_realtime", "vs_baseline": None})
+                    "unit": "x_realtime", "vs_baseline": None,
+                    **spread(), **floor})
 
     # --- config 2: FastSpeech2 synthesis
     dt = timeit(stage2, o1[1], o1[2], durs)
     results.append({"metric": "fastspeech2_rtf",
                     "value": round(audio_seconds / dt, 2),
-                    "unit": "x_realtime", "vs_baseline": None})
+                    "unit": "x_realtime", "vs_baseline": None,
+                    **spread(), **floor})
 
     # --- config 1: vocoder
     dt = timeit(stage3, o2)
     results.append({"metric": "hifigan_vocoder_rtf",
                     "value": round(audio_seconds / dt, 2),
-                    "unit": "x_realtime", "vs_baseline": None})
+                    "unit": "x_realtime", "vs_baseline": None,
+                    **spread(), **floor})
+
+    # --- config 1b': vocoder, opt-in bf16 serving mode (bfloat16
+    # activations halve the HBM traffic the fp32 path is partially bound
+    # by; near-fp32 quality — the middle rung of the serving ladder)
+    try:
+        wav_fp = np.asarray(stage3(o2))
+        voc_b = HiFiGANGenerator(HiFiGANConfig(), fold_to=128,
+                                 dtype=jnp.bfloat16)
+        stage3_b = jax.jit(lambda mel: voc_b.apply(vparams, mel))
+        t = time.perf_counter()
+        wav_b = np.asarray(stage3_b(o2), np.float32)
+        log(f"stage3 bf16 compiled in {time.perf_counter()-t:.0f}s")
+        snr = 10 * np.log10(float(np.sum(wav_fp ** 2))
+                            / max(float(np.sum((wav_b - wav_fp) ** 2)),
+                                  1e-30))
+        dt = timeit(stage3_b, o2)
+        results.append({"metric": "hifigan_vocoder_bf16_rtf",
+                        "value": round(audio_seconds / dt, 2),
+                        "unit": "x_realtime", "vs_baseline": None,
+                        "snr_db_vs_fp32": round(snr, 1),
+                        **spread(), **floor})
+    except Exception as e:
+        log(f"bf16 vocoder bench failed: {type(e).__name__}: {e}")
 
     # --- config 1b: vocoder, opt-in int8 serving mode (W8A8, static
     # calibrated activation scales; fp32 parity path above stays default)
@@ -210,22 +270,92 @@ def main():
         vq = {"params": vparams["params"], "quant": upd["quant"]}
         stage3_q = jax.jit(lambda mel: voc_q.apply(vq, mel))
         t = time.perf_counter()
-        sync(stage3_q(o2))
+        wav_q = np.asarray(stage3_q(o2), np.float32)
         log(f"stage3 int8 compiled in {time.perf_counter()-t:.0f}s")
+        snr_q = 10 * np.log10(float(np.sum(wav_fp ** 2))
+                              / max(float(np.sum((wav_q - wav_fp) ** 2)),
+                                    1e-30))
         dt = timeit(stage3_q, o2)
         results.append({"metric": "hifigan_vocoder_int8_rtf",
                         "value": round(audio_seconds / dt, 2),
-                        "unit": "x_realtime", "vs_baseline": None})
+                        "unit": "x_realtime", "vs_baseline": None,
+                        "snr_db_vs_fp32": round(snr_q, 1),
+                        **spread(), **floor})
+
+        # int8-skip1 mitigation rung (level 0 in fp32)
+        voc_s = HiFiGANGenerator(HiFiGANConfig(), fold_to=128,
+                                 quant_int8=True, quant_skip_levels=1)
+        voc_sc = HiFiGANGenerator(HiFiGANConfig(), fold_to=128,
+                                  quant_int8=True, quant_skip_levels=1,
+                                  calibrate=True)
+        _, upd_s = jax.jit(lambda v, m: voc_sc.apply(
+            v, m, mutable=["quant"]))({"params": vparams["params"]}, o2)
+        vs = {"params": vparams["params"], "quant": upd_s["quant"]}
+        stage3_s = jax.jit(lambda mel: voc_s.apply(vs, mel))
+        wav_s = np.asarray(stage3_s(o2), np.float32)
+        snr_s = 10 * np.log10(float(np.sum(wav_fp ** 2))
+                              / max(float(np.sum((wav_s - wav_fp) ** 2)),
+                                    1e-30))
+        dt = timeit(stage3_s, o2)
+        results.append({"metric": "hifigan_vocoder_int8_skip1_rtf",
+                        "value": round(audio_seconds / dt, 2),
+                        "unit": "x_realtime", "vs_baseline": None,
+                        "snr_db_vs_fp32": round(snr_s, 1),
+                        **spread(), **floor})
     except Exception as e:
         log(f"int8 vocoder bench failed: {type(e).__name__}: {e}")
         stage3_q = None
 
+    # --- config 1c: chunked/streaming first-audio latency (B=1): ms from
+    # mel-ready to the FIRST audio chunk (one fixed 64+2*halo-frame window,
+    # --vocoder-chunk serving) vs the one-shot whole-utterance latency.
+    try:
+        from daspeech_tpu.models.hifigan import (
+            receptive_halo_mel, vocode_chunked)
+
+        chunk = 64
+        halo = receptive_halo_mel(voc.cfg)
+        mel1 = o2[:1]                          # [1, M, 80] single utterance
+        win = jax.jit(lambda m: voc.apply(vparams, m))
+        first_w = mel1[:, :chunk + 2 * halo]
+        sync(win(first_w))                     # compile the window shape
+        dt_first = timeit(win, first_w, n=10)
+        sp_first = spread()
+        one1 = jax.jit(lambda m: voc.apply(vparams, m))
+        sync(one1(mel1))
+        dt_one = timeit(one1, mel1, n=10)
+        # exactness of the full chunked path at these shapes (cheap guard)
+        full_wav = np.asarray(one1(mel1))
+        ch_wav = np.asarray(vocode_chunked(voc, vparams, mel1, chunk=chunk,
+                                           run=win))
+        ok = bool(np.allclose(full_wav, ch_wav, rtol=0, atol=2e-5))
+        results.append({
+            "metric": "e2e_first_chunk_latency_ms",
+            "value": round(dt_first * 1e3, 2), "unit": "ms_to_first_audio",
+            "vs_baseline": None, "one_shot_ms": round(dt_one * 1e3, 2),
+            "chunk_frames": chunk, "halo_frames": halo,
+            "chunk_audio_s": round(chunk * 256 / 22050.0, 3),
+            "chunked_equals_one_shot": ok, **sp_first, **floor})
+    except Exception as e:
+        log(f"first-chunk latency bench failed: {type(e).__name__}: {e}")
+
     # --- config 5: DAG training step at max-tokens 40000
+    train_rec = None
     try:
         train_rec = bench_train_step()
         results.append(train_rec)
     except Exception as e:   # never lose the headline to a train-bench issue
         log(f"train-step bench failed: {type(e).__name__}: {e}")
+
+    # --- config 5b: SUSTAINED whole-loop training throughput through the
+    # real cli.train loop (TSV/zip decode, collation, prefetch, to_device,
+    # logging, checkpointing) on a recipe-scale synthetic fixture — the
+    # reference's de-facto metric (trainer.py:797 hot loop incl. DataLoader
+    # workers). Proves the 1-CPU host can feed the TPU.
+    try:
+        results.append(bench_sustained_train(train_rec))
+    except Exception as e:
+        log(f"sustained-train bench failed: {type(e).__name__}: {e}")
 
     # --- stage-3 joint S2ST finetune step (max-tokens 20000 recipe)
     try:
@@ -251,7 +381,8 @@ def main():
         results.append({"metric": "e2e_s2st_int8_rtf_x_realtime",
                         "value": round(audio_seconds / dt, 2),
                         "unit": "x_realtime",
-                        "vs_baseline": round(audio_seconds / dt / 10.0, 3)})
+                        "vs_baseline": round(audio_seconds / dt / 10.0, 3),
+                        **spread(), **floor})
 
     # --- config 4 (headline, LAST): full two-pass S2ST
     sync(s2st(fbank, src_lengths, prev, durs))
@@ -260,7 +391,8 @@ def main():
     results.append({"metric": "e2e_s2st_rtf_x_realtime",
                     "value": round(rtf_x, 2), "unit": "x_realtime",
                     "vs_baseline": round(rtf_x / 10.0, 3),
-                    "utt_per_sec_chip": round(B / dt, 1)})
+                    "utt_per_sec_chip": round(B / dt, 1),
+                    **spread(), **floor})
 
     for r in results:
         print(json.dumps(r))
@@ -334,11 +466,155 @@ def bench_train_step():
     rec = {"metric": "dag_train_step_ms", "value": round(dt * 1e3, 2),
            "unit": "ms_per_update_maxtokens40k", "vs_baseline": None,
            "trace_s": round(t_lower, 1), "compile_s": round(t_first, 1),
-           "compile_warm_s": round(t_warm, 1)}
+           "compile_warm_s": round(t_warm, 1), **spread()}
     if flops:
         tflops = flops / dt / 1e12
         rec["tflops"] = round(tflops, 1)
         rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_BF16_PEAK, 3)
+    return rec
+
+
+def _build_sustained_fixture(root, n_utts=512, seed=0):
+    """Recipe-scale synthetic S2TT corpus: zip-packed fp32 fbank (.npy,
+    STORED — the reference's packed-audio layout, ``audio_utils.py:
+    169-211``), a ~124-phoneme vocab (fr-en scale), and a train TSV.
+    Cached across bench runs."""
+    import csv
+    import io
+    import zipfile
+    from pathlib import Path
+
+    from daspeech_tpu.data.dictionary import Dictionary
+
+    root = Path(root)
+    tsv = root / "train.tsv"
+    if tsv.exists():
+        return root
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    d = Dictionary()
+    for i in range(124):
+        d.add_symbol(f"PH{i}")
+    d.save(root / "vocab.txt")
+    zip_path = root / "fbank.zip"
+    frames = []
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for i in range(n_utts):
+            T = int(rng.integers(380, 481))     # ~4-4.8 s of 10 ms frames
+            frames.append(T)
+            buf = io.BytesIO()
+            np.save(buf, rng.normal(size=(T, 80)).astype(np.float32))
+            zf.writestr(f"utt{i}.npy", buf.getvalue())
+    rows = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for i, info in enumerate(zf.infolist()):
+            offset = info.header_offset + len(info.FileHeader())
+            n_words = int(rng.integers(24, 64))
+            words = " ".join(f"PH{int(rng.integers(0, 124))}"
+                             for _ in range(n_words))
+            rows.append({
+                "id": f"utt{i}",
+                "audio": f"{zip_path}:{offset}:{info.file_size}",
+                "n_frames": str(frames[i]),
+                "tgt_text": words,
+            })
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()),
+                           delimiter="\t")
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+    return root
+
+
+class _TimedLines:
+    """stdout sink recording (perf_counter, line) per emitted line."""
+
+    def __init__(self):
+        self.events = []
+        self._buf = ""
+
+    def write(self, s):
+        self._buf += s
+        while "\n" in self._buf:
+            line, self._buf = self._buf.split("\n", 1)
+            if line.strip():
+                self.events.append((time.perf_counter(), line))
+
+    def flush(self):
+        pass
+
+
+def bench_sustained_train(train_rec=None, updates=60, settle=10):
+    """Sustained ms/update through the REAL ``cli.train`` loop — host input
+    pipeline included — at the S2TT recipe budget (max-tokens 40000, the
+    same workload as ``dag_train_step_ms``). Runs ``updates`` updates on a
+    recipe-scale synthetic fixture; sustained time is measured between the
+    update-``settle`` log record (after the one-time jit compile) and the
+    final record, purely from host-side wall clock on the emitted log
+    lines. Also reports the loop's own input accounting: mean ms/update
+    blocked on the prefetch queue (``data_wait_ms``), host->device
+    transfer (``h2d_ms``), and the run-level ``input_wait_frac``."""
+    import contextlib
+
+    from daspeech_tpu.cli.train import main as train_main
+
+    root = _build_sustained_fixture("/tmp/daspeech_bench_train_data")
+    save_dir = "/tmp/daspeech_bench_train_ckpt"
+    import shutil
+
+    shutil.rmtree(save_dir, ignore_errors=True)
+    cap = _TimedLines()
+    argv = [
+        str(root), "--task", "nat_speech_to_text",
+        "--criterion", "nat_dag_loss",
+        "--save-dir", save_dir,
+        "--max-update", str(updates), "--max-tokens", "40000",
+        "--num-buckets", "1",             # one padded shape = one compile,
+        # directly comparable to the isolated 80x480 step bench
+        "--lr", "5e-4", "--warmup-updates", "10000",
+        "--log-interval", str(settle),
+        "--valid-subset", "missing",
+        "--dtype", "bfloat16",
+        "--max-source-positions", "481",
+    ]
+    t0 = time.perf_counter()
+    with contextlib.redirect_stdout(cap):
+        rc = train_main(argv)
+    if rc != 0:
+        raise RuntimeError(f"cli.train exited {rc}")
+    recs = []
+    for t, line in cap.events:
+        try:
+            recs.append((t, json.loads(line)))
+        except json.JSONDecodeError:
+            continue
+    # log-interval records only: the "done" record prints after the final
+    # blocking checkpoint save, which is not part of the steady-state loop
+    prog = [(t, r) for t, r in recs
+            if r.get("update") and r.get("tag") == "train"
+            and not r.get("done")]
+    done = next((r for _, r in recs if r.get("done")), {})
+    t_settle = next(t for t, r in prog if r["update"] >= settle)
+    u_settle = next(r["update"] for _, r in prog if r["update"] >= settle)
+    t_last, r_last = prog[-1]
+    n = r_last["update"] - u_settle
+    if n <= 0:
+        raise RuntimeError("not enough updates to time")
+    dt_ms = (t_last - t_settle) / n * 1e3
+    rec = {"metric": "sustained_train_ms_per_update",
+           "value": round(dt_ms, 2),
+           "unit": "ms_per_update_maxtokens40k_wholeloop",
+           "vs_baseline": None,
+           "updates_timed": n,
+           "total_wall_s": round(time.perf_counter() - t0, 1),
+           "data_wait_ms": r_last.get("data_wait_ms"),
+           "h2d_ms": r_last.get("h2d_ms"),
+           "input_wait_frac": done.get("input_wait_frac")}
+    if train_rec:
+        rec["isolated_step_ms"] = train_rec["value"]
+        rec["gap_vs_isolated_pct"] = round(
+            (dt_ms / train_rec["value"] - 1) * 100, 1)
     return rec
 
 
@@ -403,7 +679,8 @@ def bench_s2s_joint_step():
         pass
     dt = timeit(lambda: compiled(state, batch, key), n=10)
     rec = {"metric": "s2s_joint_step_ms", "value": round(dt * 1e3, 2),
-           "unit": "ms_per_update_maxtokens20k", "vs_baseline": None}
+           "unit": "ms_per_update_maxtokens20k", "vs_baseline": None,
+           **spread()}
     if flops:
         rec["tflops"] = round(flops / dt / 1e12, 1)
         rec["mfu_vs_v5e_bf16_peak"] = round(flops / dt / V5E_BF16_PEAK, 3)
@@ -436,7 +713,11 @@ def bench_vocoder_train_step():
         return jnp.log(jnp.maximum(mel, 1e-5))
 
     seg = 8192
-    trainer = VocoderTrainer(cfg, mel_fn=mel_fn, segment_size=seg)
+    # gen_fold=128: the folded (space-to-depth) generator execution the
+    # serving path built, now applied to training (G fwd AND bwd); grads
+    # are parity-tested vs the unfolded path in tests/test_vocoder_train.py
+    trainer = VocoderTrainer(cfg, mel_fn=mel_fn, segment_size=seg,
+                             gen_fold=128)
     state = trainer.init_state(jax.random.key(0))
     B = 16
     rng = np.random.default_rng(0)
@@ -444,14 +725,49 @@ def bench_vocoder_train_step():
         rng.normal(size=(B, seg // hop, cfg.num_mels)).astype(np.float32))
     wav = jnp.asarray(
         (0.1 * rng.normal(size=(B, seg))).astype(np.float32))
-    step_jit = jax.jit(trainer.train_step)
+    # two jits (D update / G update): each compiles independently (the
+    # round-4 fused step was the suite's worst compile at 206 s)
     t = time.perf_counter()
-    out = step_jit(state, mel, wav)
-    sync(out)
-    log(f"vocoder train step compiled in {time.perf_counter()-t:.0f}s")
-    dt = timeit(lambda: step_jit(state, mel, wav), n=10)
-    return {"metric": "hifigan_train_step_ms", "value": round(dt * 1e3, 2),
-            "unit": "ms_per_update_b16_seg8192", "vs_baseline": None}
+    d_low = jax.jit(trainer.d_update).lower(state, mel, wav)
+    d_comp = d_low.compile()
+    t_d = time.perf_counter() - t
+    t = time.perf_counter()
+    g_low = jax.jit(trainer.g_update).lower(state, mel, wav)
+    g_comp = g_low.compile()
+    t_g = time.perf_counter() - t
+    log(f"vocoder train compiled: D {t_d:.0f}s + G {t_g:.0f}s")
+
+    def flops_of(comp):
+        try:
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
+    fl_d, fl_g = flops_of(d_comp), flops_of(g_comp)
+    dt_d = timeit(lambda: d_comp(state, mel, wav), n=10)
+    dt_g = timeit(lambda: g_comp(state, mel, wav), n=10)
+
+    def step(state, mel, wav):
+        state, d_loss = d_comp(state, mel, wav)
+        state, m = g_comp(state, mel, wav)
+        return state, m
+
+    dt = timeit(lambda: step(state, mel, wav), n=10)
+    rec = {"metric": "hifigan_train_step_ms", "value": round(dt * 1e3, 2),
+           "unit": "ms_per_update_b16_seg8192", "vs_baseline": None,
+           "d_update_ms": round(dt_d * 1e3, 2),
+           "g_update_ms": round(dt_g * 1e3, 2),
+           "compile_d_s": round(t_d, 1), "compile_g_s": round(t_g, 1),
+           **spread()}
+    if fl_d and fl_g:
+        rec["tflops"] = round((fl_d + fl_g) / dt / 1e12, 1)
+        rec["mfu_vs_v5e_bf16_peak"] = round(
+            (fl_d + fl_g) / dt / V5E_BF16_PEAK, 3)
+        rec["d_tflops"] = round(fl_d / dt_d / 1e12, 1)
+        rec["g_tflops"] = round(fl_g / dt_g / 1e12, 1)
+    return rec
 
 
 if __name__ == "__main__":

@@ -34,6 +34,11 @@ def parse_args(argv=None):
     p.add_argument("--average-last-n", type=int, default=5)
     p.add_argument("--vocoder-checkpoint", default=None)
     p.add_argument("--vocoder-torch", default=None)
+    p.add_argument("--vocoder-type", default="auto",
+                   choices=["auto", "hifigan", "griffin_lim"],
+                   help="griffin_lim = checkpoint-free mel->wav fallback "
+                        "so the ASR stage can run without a trained "
+                        "vocoder (cli.generate --vocoder-type)")
     p.add_argument("--gcmvn-stats", default=None)
     p.add_argument("--model-yaml", default=None)
     p.add_argument("--max-tokens", type=int, default=40000)
@@ -79,6 +84,8 @@ def main(argv=None):
         gen_args += ["--vocoder-checkpoint", args.vocoder_checkpoint]
     if args.vocoder_torch:
         gen_args += ["--vocoder-torch", args.vocoder_torch]
+    if args.vocoder_type != "auto":
+        gen_args += ["--vocoder-type", args.vocoder_type]
     if args.gcmvn_stats:
         gen_args += ["--gcmvn-stats", args.gcmvn_stats]
     rc = gen_main(gen_args)

@@ -121,11 +121,27 @@ def parse_args(argv=None):
                         "hifigan when a checkpoint is given, else the "
                         "data config's vocoder type, else none")
     p.add_argument("--vocoder-quant", default="none",
-                   choices=["none", "int8"],
-                   help="opt-in int8 vocoder serving mode (W8A8, static "
-                        "activation scales calibrated on the first batch; "
-                        "~1.6x faster on TPU at ~27 dB SNR vs the fp32 "
-                        "path — models/hifigan.py)")
+                   choices=["none", "bf16", "int8", "int8-skip1"],
+                   help="opt-in reduced-precision vocoder serving ladder "
+                        "(measured speed/quality in COVERAGE.md): bf16 = "
+                        "bfloat16 activations (halves the HBM traffic the "
+                        "fp32 path is partially bound by, near-fp32 "
+                        "quality); int8 = W8A8 with static activation "
+                        "scales calibrated over the first batches "
+                        "(fastest); int8-skip1 keeps level 0 in fp32 "
+                        "(higher quality, most of the int8 win). Default "
+                        "fp32 keeps exact torch waveform parity")
+    p.add_argument("--vocoder-chunk", type=int, default=0,
+                   help="vocode in exact fixed windows of N mel frames "
+                        "(+receptive-field halo) instead of one shot: "
+                        "first-audio latency becomes one chunk (~N*256/"
+                        "22050 s) instead of one utterance; bit-identical "
+                        "output (models/hifigan.py::vocode_chunked). 0 = "
+                        "one-shot. Stacks with --vocoder-quant int8")
+    p.add_argument("--vocoder-calib-batches", type=int, default=4,
+                   help="int8 mode: number of served batches to calibrate "
+                        "the static activation scales over before freezing "
+                        "them (decode/speech_generator.py::make_vocode_fn)")
     p.add_argument("--vocoder-torch", default=None,
                    help="torch HiFi-GAN generator .pt (weight-normed) to "
                         "import (the reference's VCTK_V1 release format)")
@@ -472,9 +488,15 @@ def _load_vocoder_and_gcmvn(args, task):
         # identical output (models/hifigan.py); --vocoder-quant int8 adds
         # the W8A8 mode on top (first-batch calibration happens in
         # decode/speech_generator.py::make_vocode_fn)
+        quant = getattr(args, "vocoder_quant", "none")
         vocoder = HiFiGANGenerator(
             hifi_cfg, fold_to=128,
-            quant_int8=getattr(args, "vocoder_quant", "none") == "int8")
+            dtype=jnp.bfloat16 if quant == "bf16" else jnp.float32,
+            quant_int8=quant.startswith("int8"),
+            quant_skip_levels=1 if quant == "int8-skip1" else 0,
+            serve_chunk=int(getattr(args, "vocoder_chunk", 0) or 0),
+            serve_calib_batches=int(
+                getattr(args, "vocoder_calib_batches", 4)))
         if args.vocoder_torch:
             import torch
 

@@ -643,6 +643,14 @@ def main(argv=None):
     watchdog = HeartbeatWatchdog(args.heartbeat_timeout)
 
     pending = []   # device-side metrics awaiting a host fetch
+    # host input-pipeline accounting (the reference's de-facto metric is
+    # sustained updates/s through trainer.py:797 INCLUDING DataLoader
+    # workers): time the loop spends blocked waiting for a collated batch
+    # (prefetch queue get) and in host->device transfer, per log window
+    # and over the whole run. If `data_wait_ms` per update approaches the
+    # step time, the TPU is input-starved and every MFU win is masked.
+    io_acc = {"wait_s": 0.0, "h2d_s": 0.0, "steps": 0,
+              "run_wait_s": 0.0, "run_h2d_s": 0.0, "run_steps": 0}
 
     def flush_metrics():
         """Fetch the pending device metrics in one host sync. Deferring the
@@ -656,6 +664,13 @@ def main(argv=None):
             agg.log_speed("ups")
         pending.clear()
         stats = agg.get_smoothed_values()
+        if io_acc["steps"]:
+            stats["data_wait_ms"] = round(
+                io_acc["wait_s"] * 1e3 / io_acc["steps"], 2)
+            stats["h2d_ms"] = round(
+                io_acc["h2d_s"] * 1e3 / io_acc["steps"], 2)
+            io_acc["wait_s"] = io_acc["h2d_s"] = 0.0
+            io_acc["steps"] = 0
         # device-memory tracker (the reference's gpu_mem_track / SHOW_MEMORY
         # equivalent): peak HBM in use, when the backend reports it
         try:
@@ -675,7 +690,15 @@ def main(argv=None):
         while update < args.max_update:
             epoch += 1
             batch_idx = -1
-            for spec, batch in prefetch_epoch(it, epoch):
+            pf = iter(prefetch_epoch(it, epoch))
+            while True:
+                t_wait = time.perf_counter()
+                nxt = next(pf, None)
+                if nxt is None:
+                    break
+                io_acc["wait_s"] += time.perf_counter() - t_wait
+                io_acc["run_wait_s"] += time.perf_counter() - t_wait
+                spec, batch = nxt
                 batch_idx += 1
                 if epoch == resume_epoch and batch_idx < first_skip:
                     continue     # fast-forward to the saved iterator position
@@ -688,7 +711,12 @@ def main(argv=None):
                     batch = {k: np.stack([b[k] for b in buf])
                              for k in buf[0]}
                     accum[spec] = []
+                t_h2d = time.perf_counter()
                 jb = to_device(batch)
+                io_acc["h2d_s"] += time.perf_counter() - t_h2d
+                io_acc["run_h2d_s"] += time.perf_counter() - t_h2d
+                io_acc["steps"] += 1
+                io_acc["run_steps"] += 1
                 if args.profile_dir and update == 5:
                     jax.profiler.start_trace(args.profile_dir)
                 if args.profile_dir and update == 15:
@@ -745,8 +773,16 @@ def main(argv=None):
         loop()
         ckpt.save(state, update)
         wall = time.perf_counter() - t_start
+        io_totals = {}
+        if io_acc["run_steps"]:
+            io_totals = {
+                "run_data_wait_s": round(io_acc["run_wait_s"], 2),
+                "run_h2d_s": round(io_acc["run_h2d_s"], 2),
+                "input_wait_frac": round(
+                    (io_acc["run_wait_s"] + io_acc["run_h2d_s"]) / wall, 4),
+            }
         logger.print({"done": True, "wall_s": round(wall, 1),
-                      **flush_metrics()}, update, epoch)
+                      **io_totals, **flush_metrics()}, update, epoch)
     except Exception:
         # crash checkpoint (``trainer.py:869-874`` crash.pt equivalent)
         try:

@@ -52,6 +52,15 @@ def parse_args(argv=None):
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--save-interval-updates", type=int, default=5000)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--gen-fold", type=int, default=128,
+                   help="run the training generator through the folded "
+                        "space-to-depth execution path (identical math, "
+                        "~faster G fwd+bwd on the low-channel tail; "
+                        "models/hifigan.py). 0 = reference-exact layout")
+    p.add_argument("--fused-step", action="store_true",
+                   help="compile D+G as ONE jit instead of two (the two-"
+                        "jit default compiles much faster and runs the "
+                        "same math)")
     p.add_argument("--compilation-cache-dir", default=None,
                    help="persist XLA executables here across runs (default "
                         "$DASPEECH_COMPILE_CACHE or ~/.cache/daspeech_tpu/"
@@ -93,10 +102,19 @@ def main(argv=None):
         return jnp.log(jnp.maximum(mel, 1e-5))
 
     trainer = VocoderTrainer(cfg, mel_fn=mel_fn,
-                             segment_size=args.segment_size)
+                             segment_size=args.segment_size,
+                             gen_fold=args.gen_fold)
     state = trainer.init_state(jax.random.key(args.seed))
     ckpt = CheckpointManager(args.save_dir, keep_last=3)
-    step = jax.jit(trainer.train_step)
+    if args.fused_step:
+        step = jax.jit(trainer.train_step)
+    else:
+        d_step, g_step = trainer.make_step_fns()
+
+        def step(state, mel_b, wav_b):
+            state, d_loss = d_step(state, mel_b, wav_b)
+            state, m = g_step(state, mel_b, wav_b)
+            return state, {"d_loss": d_loss, **m}
 
     rng = np.random.default_rng(args.seed)
     logger = JsonProgressLogger(log_interval=args.log_interval,

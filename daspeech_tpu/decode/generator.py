@@ -28,6 +28,7 @@ from daspeech_tpu.decode.dag_decode import (
     path_score,
     viterbi_decode,
 )
+from daspeech_tpu.decode.speech_generator import _vocode_in_jit, make_vocode_fn
 
 
 def _strategy_decode(cfg: DecodeConfig, vocab, logits, links, prev):

@@ -11,63 +11,137 @@ recipes exercise.)
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+logger = logging.getLogger(__name__)
 
-def make_vocode_fn(voc, vparams, gcmvn):
+
+def make_vocode_fn(voc, vparams, gcmvn, calib_batches: int | None = None,
+                   saturation_margin: float = 1.25):
     """jitted mel -> waveform closure for vocoding OUTSIDE a generator's
     fused jit (gcmvn denormalization happens inside, before the vocoder,
     as in ``speech_generator.py``'s gcmvn_denormalize -> get_waveform).
 
-    Exists for the int8 serving vocoder (``HiFiGANGenerator(
-    quant_int8=True)``): its static activation scales are calibrated on
-    the first real mel batch at the Python level — a traced mel inside
-    the fused generation jit could not produce concrete scales. The
-    fp32 vocoder keeps its fused in-jit path and never comes through
-    here."""
+    Serves two opt-in vocoder modes the fused in-jit path cannot:
+
+    * **int8** (``HiFiGANGenerator(quant_int8=True)``): static activation
+      scales need concrete values — a traced mel inside the fused
+      generation jit could not produce them. Scales are calibrated over
+      the FIRST ``calib_batches`` served batches (a running per-site max;
+      one quiet first utterance no longer fixes the clip range for the
+      whole session; default from the vocoder's ``serve_calib_batches``
+      field); calibration passes serve with dynamic per-tensor
+      quantization, then the scales freeze. After freezing, each batch's
+      input amax is compared against the calibration-time maximum and a
+      warning is logged when it exceeds it by ``saturation_margin`` —
+      the signal that the frozen scales are saturating at the int8 clip.
+    * **chunked** (``serve_chunk > 0`` on the vocoder): exact fixed-window
+      streaming vocoding via ``models.hifigan.vocode_chunked`` — the mel
+      is gcmvn-denormalized in one jit, then vocoded chunk by chunk with
+      a memoized window jit, so first-audio latency is one chunk. Stacks
+      with int8 (frozen scales are position-independent).
+
+    The plain fp32 vocoder keeps its fused in-jit path and never comes
+    through here."""
     if voc is None:
         return None
+    from daspeech_tpu.models.hifigan import make_chunked_run, vocode_chunked
+
+    chunk = int(getattr(voc, "serve_chunk", 0) or 0)
+    if calib_batches is None:
+        calib_batches = int(getattr(voc, "serve_calib_batches", 4))
     gstats = (None if gcmvn is None else
               (jnp.asarray(gcmvn.mean), jnp.asarray(gcmvn.std)))
     params = (vparams.get("params", vparams)
               if isinstance(vparams, dict) else vparams)
 
-    @jax.jit
-    def serve(variables, mel):
-        mel_voc = mel if gstats is None else mel * gstats[1] + gstats[0]
-        return voc.apply(variables, mel_voc)
+    def _denorm(mel):
+        return mel if gstats is None else mel * gstats[1] + gstats[0]
+
+    def _chunked_server(variables):
+        denorm_j = jax.jit(lambda mel: (_denorm(mel),
+                                        jnp.max(jnp.abs(_denorm(mel)))))
+        run = make_chunked_run(voc, variables)
+
+        def serve_chunked(mel):
+            mel_voc, amax = denorm_j(mel)
+            return vocode_chunked(voc, variables, mel_voc, chunk=chunk,
+                                  run=run), amax
+
+        return serve_chunked
 
     if not getattr(voc, "quant_int8", False):
         variables = vparams
-        return lambda mel: serve(variables, mel)
+        if chunk:
+            ck = _chunked_server(variables)
+            return lambda mel: ck(mel)[0]
+
+        @jax.jit
+        def serve_fp(mel):
+            return voc.apply(variables, _denorm(mel))
+
+        return serve_fp
 
     calib = voc.clone(calibrate=True)
 
     @jax.jit
-    def calibrate(mel):
-        mel_voc = mel if gstats is None else mel * gstats[1] + gstats[0]
-        _, upd = calib.apply({"params": params}, mel_voc,
-                             mutable=["quant"])
-        return upd["quant"]
+    def calibrate(quant, mel):
+        # dynamic-quantization forward that also refines the running
+        # per-site amax (act_scale takes a max, so order is irrelevant)
+        mel_voc = _denorm(mel)
+        v = {"params": params} if quant is None else {"params": params,
+                                                      "quant": quant}
+        wav, upd = calib.apply(v, mel_voc, mutable=["quant"])
+        return wav, upd["quant"], jnp.max(jnp.abs(mel_voc))
 
-    state = {}
+    @jax.jit
+    def serve(variables, mel):
+        mel_voc = _denorm(mel)
+        return voc.apply(variables, mel_voc), jnp.max(jnp.abs(mel_voc))
+
+    state = {"n": 0, "quant": None, "amax": 0.0, "warned": False}
 
     def fn(mel):
-        if "v" not in state:
-            state["v"] = {"params": params, "quant": calibrate(mel)}
-        return serve(state["v"], mel)
+        if state["n"] < max(1, calib_batches):
+            # flax specializes on the pytree structure, so quant=None and
+            # quant=<tree> are two traces of `calibrate`, both cached
+            wav, q, amax = calibrate(state["quant"], mel)
+            state["quant"] = q
+            state["amax"] = max(state["amax"], float(amax))
+            state["n"] += 1
+            if state["n"] >= max(1, calib_batches):
+                state["v"] = {"params": params, "quant": state["quant"]}
+                if chunk:
+                    state["serve"] = _chunked_server(state["v"])
+            return wav
+        wav, amax = (state["serve"](mel) if chunk
+                     else serve(state["v"], mel))
+        if (float(amax) > saturation_margin * state["amax"]
+                and not state["warned"]):
+            state["warned"] = True
+            logger.warning(
+                "int8 vocoder: served batch input amax %.3g exceeds the "
+                "calibration-time maximum %.3g by more than %.0f%% — the "
+                "frozen activation scales are likely saturating at the "
+                "int8 clip; consider more --vocoder-calib-batches.",
+                float(amax), state["amax"],
+                (saturation_margin - 1) * 100)
+        return wav
 
     return fn
 
 
 def _vocode_in_jit(voc) -> bool:
     """True when the vocoder can run inside the fused generation jit
-    (everything except the lazily-calibrated int8 serving mode)."""
-    return voc is not None and not getattr(voc, "quant_int8", False)
+    (everything except the lazily-calibrated int8 serving mode and
+    chunked streaming serving, which both go through make_vocode_fn)."""
+    return (voc is not None and not getattr(voc, "quant_int8", False)
+            and not getattr(voc, "serve_chunk", 0))
 
 
 class NonAutoregressiveSpeechGenerator:
@@ -246,7 +320,7 @@ class MultiDecoderSpeechGenerator:
             mel = mbuf[:, 1:]
 
             wav = None
-            if voc is not None:
+            if _vocode_in_jit(voc):
                 mel_voc = (mel if gstats is None
                            else mel * gstats[1] + gstats[0])
                 wav = voc.apply(vparams, mel_voc)
@@ -260,6 +334,11 @@ class MultiDecoderSpeechGenerator:
             self._fn = self._build()
         tokens, text_lens, mel, mel_lens, wav = self._fn(
             params, batch["fbank"], batch["src_lengths"])
+        if wav is None and generate_waveform and self.vocoder is not None:
+            if getattr(self, "_vocode_fn", None) is None:
+                self._vocode_fn = make_vocode_fn(
+                    self.vocoder, self.vocoder_params, self.gcmvn)
+            wav = self._vocode_fn(mel)
         tokens = np.asarray(tokens)
         text_lens = np.asarray(text_lens)
         mel = np.asarray(mel)

@@ -121,8 +121,14 @@ class Wav2Vec2Transcriber:
 
     def transcribe(self, wav: np.ndarray, sample_rate: int = 16000) -> str:
         torch = self.torch
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        if wav.size == 0:
+            return ""          # an empty synthesis transcribes to nothing
         if sample_rate != 16000:
             wav = resample_linear(wav, sample_rate, 16000)
+        if wav.size < 640:     # < 40 ms: shorter than the feature
+            # extractor's receptive field — zero-pad (silence) to one hop
+            wav = np.pad(wav, (0, 640 - wav.size))
         inputs = self.processor(
             wav, sampling_rate=16000, return_tensors="pt")
         with torch.no_grad():

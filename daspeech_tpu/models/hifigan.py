@@ -11,6 +11,7 @@ Layout is channels-last [B, T, C]; XLA lowers the stacks to fused MXU convs.
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import flax.linen as nn
@@ -476,35 +477,84 @@ def receptive_halo_mel(cfg: HiFiGANConfig) -> int:
     return halo + (7 - 1) // 2  # conv_pre
 
 
+def fold_window_multiple(voc: "HiFiGANGenerator") -> int:
+    """Smallest multiple a mel window width must be for the folded serving
+    path (``fold_to > 0``): each level's post-upsample length
+    W * prod(u_0..u_i) is space-to-depth reshaped by that level's fold
+    factor f_i = fold_to / ch_i, so W must clear f_i / gcd(f_i, prod(u)).
+    1 for the unfolded path and for config_v1 shapes (whose upsample
+    products outgrow the folds); > 1 only for tiny test configs."""
+    ft = getattr(voc, "fold_to", 0)
+    if not ft:
+        return 1
+    c = voc.cfg
+    m, P = 1, 1
+    for i, u in enumerate(c.upsample_rates):
+        P *= u
+        ch = c.upsample_initial_channel // (2 ** (i + 1))
+        f = max(1, ft // ch)
+        need = f // math.gcd(f, P)
+        m = m * need // math.gcd(m, need)
+    return m
+
+
+# jitted per-window apply cache for vocode_chunked: keyed on the (voc,
+# variables) identities so repeated utterances reuse ONE compiled program
+# instead of re-tracing per call (strong refs pin the keys so ids cannot
+# be recycled; bounded by the number of distinct serving vocoders).
+_CHUNKED_RUN_CACHE: dict = {}
+
+
+def make_chunked_run(voc: "HiFiGANGenerator", variables):
+    """Memoized ``jax.jit(lambda mel_window: voc.apply(variables, ...))``
+    used by :func:`vocode_chunked`; reusable across utterances."""
+    key = (id(voc), id(variables))
+    hit = _CHUNKED_RUN_CACHE.get(key)
+    if hit is not None and hit[0] is voc and hit[1] is variables:
+        return hit[2]
+    run = jax.jit(lambda m: voc.apply(variables, m))
+    _CHUNKED_RUN_CACHE[key] = (voc, variables, run)
+    return run
+
+
 def vocode_chunked(voc: "HiFiGANGenerator", variables, mel: jnp.ndarray,
-                   chunk: int = 64, halo: int | None = None) -> jnp.ndarray:
+                   chunk: int = 64, halo: int | None = None,
+                   run=None) -> jnp.ndarray:
     """EXACT chunked vocoding: bit-identical samples to the one-shot
     forward (``tests/test_hifigan_chunked.py``).
 
     Streaming serving needs latency of one chunk, not one utterance; the
     reference's HiFi-GAN has no streaming mode (``inference_e2e.py``
-    vocodes whole utterances). Each chunk's mel window is extended by the
-    receptive-field halo so interior samples see their true context, and
-    chunks at the sequence ends keep the one-shot forward's own zero
-    padding (every conv SAME-pads its activations there, exactly as in
-    the full run). Output chunks are cropped to [s, e)*prod(u) and
-    concatenated. At most three window shapes compile (first/middle/
-    last). Works for the fp32 path and for ``quant_int8`` with frozen
-    static scales (per-window math is position-independent)."""
+    vocodes whole utterances). Every chunk vocodes ONE fixed-width mel
+    window of ``chunk + 2 * halo`` frames — edge windows are shifted to
+    stay inside ``[0, M)`` instead of clipped, so exactly one window
+    shape compiles — and the jitted window apply is memoized across
+    calls (``make_chunked_run``), so only the first utterance ever pays
+    a compile. Exactness: interior samples get >= halo frames of true
+    context on each side, and where a window is flush against a TRUE
+    sequence end the one-shot forward's own SAME zero padding applies
+    identically. Output windows are cropped to [s, e)*prod(u) and
+    concatenated. Works for the fp32 path and for ``quant_int8`` with
+    frozen static scales (per-window math is position-independent).
+    ``run``: optional prebuilt jitted window apply (overrides the cache).
+    """
     if halo is None:
         halo = receptive_halo_mel(voc.cfg)
     B, M, _ = mel.shape
     hop = 1
     for u in voc.cfg.upsample_rates:
         hop *= u
-    if M <= chunk:
+    fm = fold_window_multiple(voc)
+    W = -(-(chunk + 2 * halo) // fm) * fm
+    if M <= W:
         return voc.apply(variables, mel)
-    run = jax.jit(lambda m: voc.apply(variables, m))
+    if run is None:
+        run = make_chunked_run(voc, variables)
     outs = []
     for s in range(0, M, chunk):
         e = min(s + chunk, M)
-        ws, we = max(0, s - halo), min(M, e + halo)
-        w = run(mel[:, ws:we])
+        ws = max(0, min(s - halo, M - W))
+        w = run(mel[:, ws:ws + W])
         outs.append(w[:, (s - ws) * hop:(e - ws) * hop])
     return jnp.concatenate(outs, axis=1)
 
@@ -534,6 +584,23 @@ class HiFiGANGenerator(nn.Module):
     # it (see act_scale).
     quant_int8: bool = False
     calibrate: bool = False
+    # int8 quality mitigation: keep the FIRST N upsample levels (highest
+    # channel count, earliest in the chain — their quantization error
+    # propagates through everything downstream) in fp32 and quantize only
+    # the rest. Level 0 holds ~11% of the serving FLOPs at config_v1, so
+    # skip_levels=1 keeps most of the int8 speed win; the measured
+    # speed/quality ladder lives in COVERAGE.md.
+    quant_skip_levels: int = 0
+    # Serving knobs read by decode/speech_generator.py::make_vocode_fn —
+    # static module fields so they flow through every generator/task
+    # without signature changes. serve_chunk > 0 vocodes in fixed
+    # chunk-frame windows via ``vocode_chunked`` (exact; first-audio
+    # latency of one chunk instead of one utterance; forces the
+    # out-of-jit serving path). serve_calib_batches is the number of
+    # served batches the int8 mode calibrates its static activation
+    # scales over before freezing them.
+    serve_chunk: int = 0
+    serve_calib_batches: int = 4
     # Pallas fused MRF levels (alternate backend, off by default): when a
     # level's folded view is exactly one lane tile (f*ch == 128), run its
     # 18-conv ResBlock stack in one VMEM-resident kernel (ops/fused_mrf.py)
@@ -565,6 +632,7 @@ class HiFiGANGenerator(nn.Module):
         ch = c.upsample_initial_channel
         for i, (u, k) in enumerate(zip(c.upsample_rates,
                                        c.upsample_kernel_sizes)):
+            lvl_quant = self.quant_int8 and i >= self.quant_skip_levels
             x = leaky_relu(x)
             ch = c.upsample_initial_channel // (2 ** (i + 1))
             f_next = max(1, self.fold_to // ch) if self.fold_to else 1
@@ -573,7 +641,7 @@ class HiFiGANGenerator(nn.Module):
                     (k, x.shape[-1] // f, ch), name=f"ups_{i}")()
                 taps = convT_subpixel_taps(kernel, u, (k - u) // 2)
                 taps = fold_taps(taps, f, x.shape[-1] // f, u * ch)
-                if self.quant_int8:
+                if lvl_quant:
                     su = act_scale(self, f"ups_{i}_amax", x, self.calibrate)
                     x = apply_taps_int8(x, taps, self.dtype, su) \
                         + jnp.tile(bias, f * u)
@@ -615,7 +683,7 @@ class HiFiGANGenerator(nn.Module):
                 for j, (rk, rd) in enumerate(zip(c.resblock_kernel_sizes,
                                                  c.resblock_dilation_sizes)):
                     block = res_cls(ch, rk, tuple(rd), dtype=self.dtype,
-                                    fold=f, quant=self.quant_int8,
+                                    fold=f, quant=lvl_quant,
                                     calibrate=self.calibrate,
                                     name=f"resblocks_{i * num_kernels + j}")(x)
                     xs = block if xs is None else xs + block

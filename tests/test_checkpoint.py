@@ -71,6 +71,39 @@ class TestManager:
         assert m.all_steps() == [4]
         assert m.latest_step() == 4
 
+    def test_resume_after_abandoned_async_save(self, tmp_path):
+        """Crash during an in-flight async save (VERDICT r4 item 9, the
+        reference's crash.pt-era bug class): a process commits step 3, then
+        dies mid-save of step 5 leaving an orbax ``*-tmp`` dir with partial
+        contents AND the meta json the non-blocking save already wrote. A
+        fresh manager (the restarted process) must resume from step 3, and
+        a later re-save of step 5 must supersede the wreckage cleanly."""
+        m1 = CheckpointManager(tmp_path)
+        m1.save(make_state(3), 3)
+        # simulated kill mid-serialization
+        tmp = tmp_path / "checkpoint_5.orbax-checkpoint-tmp-1234567"
+        (tmp / "d").mkdir(parents=True)
+        (tmp / "d" / "partial.bin").write_bytes(b"\x00" * 128)
+        (tmp_path / "checkpoint_5.json").write_text(
+            '{"step": 5, "epoch": 9, "batch_idx": 99}')
+
+        m2 = CheckpointManager(tmp_path)       # restarted process
+        assert m2.all_steps() == [3]
+        assert m2.latest_step() == 3
+        got = m2.restore(make_state(0))
+        assert float(got["params"]["w"][0]) == 3.0
+        # the stale step-5 meta json is never consulted: the resume reads
+        # checkpoint_{latest_step()}.json (cli/train.py:364-375)
+        import json as _json
+        meta = _json.loads(
+            (tmp_path / f"checkpoint_{m2.latest_step()}.json").read_text())
+        assert meta["step"] == 3
+
+        m2.save(make_state(5), 5)
+        assert m2.latest_step() == 5
+        got5 = m2.restore(make_state(0))
+        assert float(got5["params"]["w"][0]) == 5.0
+
     def test_average_checkpoints(self, tmp_path):
         m = CheckpointManager(tmp_path, keep_last=10)
         for step in (1, 2, 3):

@@ -69,6 +69,31 @@ class TestChunkedVocoding:
         got = np.asarray(vocode_chunked(model, params, mel, chunk=4096))
         np.testing.assert_array_equal(got, full)
 
+    def test_one_window_shape_and_memoized_jit(self, setup):
+        """Round-4 advisor finding: vocode_chunked re-jitted per call and
+        compiled up to four window shapes. Now every window has ONE fixed
+        shape (chunk + 2*halo, edge windows shifted not clipped) and the
+        jitted apply is memoized across utterances."""
+        from daspeech_tpu.models.hifigan import make_chunked_run
+
+        cfg, mel, model, params = setup
+        assert make_chunked_run(model, params) is make_chunked_run(
+            model, params)
+        shapes = []
+        inner = make_chunked_run(model, params)
+
+        def spy(m):
+            shapes.append(m.shape)
+            return inner(m)
+
+        full = np.asarray(model.apply(params, mel))
+        # M=150, chunk=64, halo clips the penultimate window in the OLD
+        # scheme — the case that used to compile a fourth shape
+        got = np.asarray(vocode_chunked(model, params, mel, chunk=64,
+                                        run=spy))
+        np.testing.assert_allclose(got, full, rtol=0, atol=1e-5)
+        assert len(set(shapes)) == 1, shapes
+
     def test_chunked_int8_static_scales(self, setup):
         """quant_int8 with frozen static scales is position-independent,
         so chunked must equal the one-shot int8 forward exactly."""

@@ -43,3 +43,63 @@ class TestVocoderTrainer:
             assert np.isfinite(float(metrics[k])), k
         g1 = jax.tree.leaves(state.gen_params)[0]
         assert float(jnp.abs(g1 - g0).max()) > 0
+
+    def _setup(self, gen_fold=0):
+        cfg = HiFiGANConfig(
+            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3, 5),), hop_size=16)
+        rng = np.random.default_rng(0)
+        W = jnp.asarray(rng.normal(size=(16, 80)).astype(np.float32) * 0.1)
+
+        def mel_fn(wav):
+            return wav.reshape(wav.shape[0], -1, 16) @ W
+
+        trainer = VocoderTrainer(cfg, mel_fn=mel_fn, segment_size=256,
+                                 gen_fold=gen_fold)
+        state = trainer.init_state(jax.random.key(0))
+        B, frames = 2, trainer.segment_frames
+        mel = jnp.asarray(rng.normal(size=(B, frames, 80)).astype(np.float32))
+        wav = jnp.asarray(rng.normal(size=(B, frames * cfg.hop_size))
+                          .astype(np.float32) * 0.1)
+        return trainer, state, mel, wav
+
+    def test_split_step_equals_fused(self):
+        """make_step_fns (two jits) must compute exactly the fused
+        train_step's math — same params after one update."""
+        trainer, state, mel, wav = self._setup()
+        fused = jax.jit(trainer.train_step)
+        s_fused, m_fused = fused(state, mel, wav)
+        d_step, g_step = trainer.make_step_fns()
+        s_mid, d_loss = d_step(state, mel, wav)
+        s_split, m_split = g_step(s_mid, mel, wav)
+        np.testing.assert_allclose(float(d_loss), float(m_fused["d_loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(s_fused.gen_params),
+                        jax.tree.leaves(s_split.gen_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(s_fused.disc_params),
+                        jax.tree.leaves(s_split.disc_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_gen_fold_training_parity(self):
+        """gen_fold=128 (folded space-to-depth generator execution) is the
+        same math: identical param tree, and one full update from the same
+        init lands on the same parameters up to float reassociation."""
+        tr0, s0, mel, wav = self._setup(gen_fold=0)
+        trf, sf, _, _ = self._setup(gen_fold=128)
+        assert (jax.tree.structure(s0.gen_params)
+                == jax.tree.structure(sf.gen_params))
+        # same init for both (init differs across layouts only by rng
+        # consumption order, so copy the unfolded init into the folded run)
+        sf = sf.replace(gen_params=s0.gen_params,
+                        disc_params=s0.disc_params,
+                        gen_opt=s0.gen_opt, disc_opt=s0.disc_opt)
+        a0, _ = jax.jit(tr0.train_step)(s0, mel, wav)
+        af, _ = jax.jit(trf.train_step)(sf, mel, wav)
+        for a, b in zip(jax.tree.leaves(a0.gen_params),
+                        jax.tree.leaves(af.gen_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=5e-5)
