@@ -474,7 +474,8 @@ def bench_train_step():
     return rec
 
 
-def _build_sustained_fixture(root, n_utts=512, seed=0):
+def _build_sustained_fixture(root, n_utts=512, seed=0,
+                             frames=(380, 481), words=(24, 64)):
     """Recipe-scale synthetic S2TT corpus: zip-packed fp32 fbank (.npy,
     STORED — the reference's packed-audio layout, ``audio_utils.py:
     169-211``), a ~124-phoneme vocab (fr-en scale), and a train TSV.
@@ -497,11 +498,11 @@ def _build_sustained_fixture(root, n_utts=512, seed=0):
         d.add_symbol(f"PH{i}")
     d.save(root / "vocab.txt")
     zip_path = root / "fbank.zip"
-    frames = []
+    n_frames = []
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
         for i in range(n_utts):
-            T = int(rng.integers(380, 481))     # ~4-4.8 s of 10 ms frames
-            frames.append(T)
+            T = int(rng.integers(*frames))      # ~4-4.8 s of 10 ms frames
+            n_frames.append(T)
             buf = io.BytesIO()
             np.save(buf, rng.normal(size=(T, 80)).astype(np.float32))
             zf.writestr(f"utt{i}.npy", buf.getvalue())
@@ -509,14 +510,14 @@ def _build_sustained_fixture(root, n_utts=512, seed=0):
     with zipfile.ZipFile(zip_path) as zf:
         for i, info in enumerate(zf.infolist()):
             offset = info.header_offset + len(info.FileHeader())
-            n_words = int(rng.integers(24, 64))
-            words = " ".join(f"PH{int(rng.integers(0, 124))}"
-                             for _ in range(n_words))
+            n_words = int(rng.integers(*words))
+            text = " ".join(f"PH{int(rng.integers(0, 124))}"
+                            for _ in range(n_words))
             rows.append({
                 "id": f"utt{i}",
                 "audio": f"{zip_path}:{offset}:{info.file_size}",
-                "n_frames": str(frames[i]),
-                "tgt_text": words,
+                "n_frames": str(n_frames[i]),
+                "tgt_text": text,
             })
     with open(tsv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()),
@@ -545,7 +546,10 @@ class _TimedLines:
         pass
 
 
-def bench_sustained_train(train_rec=None, updates=60, settle=10):
+def bench_sustained_train(train_rec=None, updates=60, settle=10,
+                          fixture_root="/tmp/daspeech_bench_train_data",
+                          fixture_kwargs=None, max_tokens=40000,
+                          extra_argv=()):
     """Sustained ms/update through the REAL ``cli.train`` loop — host input
     pipeline included — at the S2TT recipe budget (max-tokens 40000, the
     same workload as ``dag_train_step_ms``). Runs ``updates`` updates on a
@@ -559,8 +563,8 @@ def bench_sustained_train(train_rec=None, updates=60, settle=10):
 
     from daspeech_tpu.cli.train import main as train_main
 
-    root = _build_sustained_fixture("/tmp/daspeech_bench_train_data")
-    save_dir = "/tmp/daspeech_bench_train_ckpt"
+    root = _build_sustained_fixture(fixture_root, **(fixture_kwargs or {}))
+    save_dir = str(root) + "_ckpt"
     import shutil
 
     shutil.rmtree(save_dir, ignore_errors=True)
@@ -569,7 +573,7 @@ def bench_sustained_train(train_rec=None, updates=60, settle=10):
         str(root), "--task", "nat_speech_to_text",
         "--criterion", "nat_dag_loss",
         "--save-dir", save_dir,
-        "--max-update", str(updates), "--max-tokens", "40000",
+        "--max-update", str(updates), "--max-tokens", str(max_tokens),
         "--num-buckets", "1",             # one padded shape = one compile,
         # directly comparable to the isolated 80x480 step bench
         "--lr", "5e-4", "--warmup-updates", "10000",
@@ -577,6 +581,7 @@ def bench_sustained_train(train_rec=None, updates=60, settle=10):
         "--valid-subset", "missing",
         "--dtype", "bfloat16",
         "--max-source-positions", "481",
+        *extra_argv,
     ]
     t0 = time.perf_counter()
     with contextlib.redirect_stdout(cap):

@@ -140,6 +140,38 @@ def direct_dilated_conv(x_folded: jnp.ndarray, kernel: jnp.ndarray,
     return y.reshape(B, G, f * cout)
 
 
+def im2col_dilated_conv(x_folded: jnp.ndarray, kernel: jnp.ndarray,
+                        d: int, f: int, dtype=jnp.float32) -> jnp.ndarray:
+    """SAME-padded dilation-d conv via explicit im2col: the k dilated
+    time-shifted views are concatenated channel-wise ([B, T, k*C_in]) and
+    contracted in ONE [k*C_in, C_out] matmul — the 'contract over
+    k*C >= 128' lever named by the round-4 formulation-bound analysis.
+    Exact (same sums as the dense folded tap form; tested). The counting
+    bound predicts it cannot win at C < 128 output channels (the matmul
+    pads C_out to the 128 lanes => 128/C inflation, and the im2col matrix
+    costs k x activation traffic); measured in situ via
+    tools/profile_vocoder.py --dilated-backend im2col (round 5)."""
+    B, G, FC = x_folded.shape
+    k, cin, cout = kernel.shape
+    T = G * f
+    xt = x_folded.reshape(B, T, cin)
+    c = (k - 1) // 2
+    xp = jnp.pad(xt, ((0, 0), (c * d, c * d), (0, 0)))
+    cols = [jax.lax.dynamic_slice_in_dim(xp, j * d, T, axis=1)
+            for j in range(k)]
+    im = jnp.concatenate(cols, axis=-1)              # [B, T, k*cin]
+    w = kernel.reshape(k * cin, cout)                # row j*cin+ci matches
+    y = im.astype(dtype) @ w.astype(dtype)
+    return y.reshape(B, G, f * cout)
+
+
+# Profiling override for the dilated-conv backend inside select_conv:
+# None = the measured production choice (dense folded taps); "im2col" /
+# "direct" / "decimated" force the named alternate for d>1 convs so
+# tools/profile_vocoder.py can A/B whole-generator formulations in situ.
+FORCE_DILATED_BACKEND: str | None = None
+
+
 def conv_taps(kernel: jnp.ndarray, dilation: int = 1):
     """[k, C_in, C_out] SAME-padded dilated conv -> tap list."""
     k = kernel.shape[0]
@@ -284,6 +316,12 @@ def select_conv(xt, kernel, d, *, C, f, quant, dtype, x_scale=None):
             return conv_int8(xt, kernel, (p, p), d, dtype, x_scale)
         return apply_taps_int8(
             xt, fold_taps(conv_taps(kernel, d), f, C, C), dtype, x_scale)
+    if d > 1 and FORCE_DILATED_BACKEND == "im2col":
+        return im2col_dilated_conv(xt, kernel, d, f, dtype)
+    if d > 1 and FORCE_DILATED_BACKEND == "direct":
+        return direct_dilated_conv(xt, kernel, d, f, dtype)
+    if d > 1 and FORCE_DILATED_BACKEND == "decimated":
+        return decimated_dilated_conv(xt, kernel, d, f, dtype)
     if prefer_direct_dilated(C, f, k, d):
         return direct_dilated_conv(xt, kernel, d, f, dtype)
     if prefer_decimated(C, f, k, d):

@@ -1,0 +1,53 @@
+"""Logic test for the sustained whole-loop training bench (VERDICT r4
+item 1): ``bench.bench_sustained_train`` drives the REAL ``cli.train``
+loop over a synthetic zip-packed fixture and times updates from the
+emitted log-record wall clock. Run here at toy scale on CPU; the TPU
+bench runs it at the recipe's max-tokens 40000."""
+
+import sys
+from pathlib import Path
+
+import pytest
+import yaml
+
+pytestmark = pytest.mark.slow
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def test_sustained_bench_logic(tmp_path):
+    import bench
+    from test_cli import TINY_MODEL
+
+    (tmp_path / "tiny.yaml").write_text(yaml.safe_dump(TINY_MODEL))
+    rec = bench.bench_sustained_train(
+        train_rec={"value": 10.0},
+        updates=6, settle=2,
+        fixture_root=str(tmp_path / "data"),
+        fixture_kwargs=dict(n_utts=12, frames=(20, 40), words=(2, 5)),
+        max_tokens=512,
+        extra_argv=["--model-yaml", str(tmp_path / "tiny.yaml"),
+                    "--max-source-positions", "100",
+                    "--max-target-positions", "32",
+                    "--num-buckets", "1"])
+    assert rec["metric"] == "sustained_train_ms_per_update"
+    assert rec["value"] > 0
+    assert rec["updates_timed"] >= 1
+    assert rec["input_wait_frac"] is not None
+    assert 0.0 <= rec["input_wait_frac"] <= 1.0
+    assert rec["data_wait_ms"] is not None
+    assert rec["isolated_step_ms"] == 10.0
+    assert "gap_vs_isolated_pct" in rec
+    # the fixture is cached: a second call reuses it
+    tsv = Path(tmp_path / "data" / "train.tsv")
+    mtime = tsv.stat().st_mtime
+    rec2 = bench.bench_sustained_train(
+        updates=4, settle=2,
+        fixture_root=str(tmp_path / "data"),
+        max_tokens=512,
+        extra_argv=["--model-yaml", str(tmp_path / "tiny.yaml"),
+                    "--max-source-positions", "100",
+                    "--max-target-positions", "32",
+                    "--num-buckets", "1"])
+    assert tsv.stat().st_mtime == mtime
+    assert rec2["value"] > 0

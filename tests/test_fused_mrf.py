@@ -126,6 +126,20 @@ class TestFusedMRF:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-5)
 
+    def test_im2col_alternate_matches(self, setup, monkeypatch):
+        """The im2col alternate (the round-4 bound analysis's 'contract
+        over k*C >= 128' lever, measured in situ in round 5 via
+        tools/profile_vocoder.py --dilated-backend im2col; default off)
+        must stay numerically equal to the folded tap form when forced."""
+        import daspeech_tpu.models.hifigan as hg
+
+        cfg, mel, ref_model, params = setup
+        want = ref_model.apply(params, mel)
+        monkeypatch.setattr(hg, "FORCE_DILATED_BACKEND", "im2col")
+        got = HiFiGANGenerator(cfg, fold_to=128).apply(params, mel)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
     def test_small_input_falls_back(self, setup):
         """Below the 128-frame gate the unfused path runs (same output)."""
         cfg, _, ref_model, _ = setup

@@ -38,10 +38,19 @@ def main():
     ap.add_argument("--quant", action="store_true",
                     help="int8 serving path (quant_int8=True)")
     ap.add_argument("--mrf-tile", type=int, default=1024)
+    ap.add_argument("--dilated-backend", default=None,
+                    choices=["im2col", "direct", "decimated"],
+                    help="force an alternate formulation for the d>1 convs "
+                         "(A/B vs the dense folded default, in situ)")
     args = ap.parse_args()
 
     from daspeech_tpu.core.config import HiFiGANConfig
     from daspeech_tpu.models import HiFiGANGenerator
+
+    if args.dilated_backend:
+        from daspeech_tpu.models import hifigan as _hg
+
+        _hg.FORCE_DILATED_BACKEND = args.dilated_backend
 
     cfg = HiFiGANConfig()
     voc = HiFiGANGenerator(cfg, fold_to=args.fold_to, fused_mrf=args.fused,
