@@ -149,8 +149,11 @@ def im2col_dilated_conv(x_folded: jnp.ndarray, kernel: jnp.ndarray,
     Exact (same sums as the dense folded tap form; tested). The counting
     bound predicts it cannot win at C < 128 output channels (the matmul
     pads C_out to the 128 lanes => 128/C inflation, and the im2col matrix
-    costs k x activation traffic); measured in situ via
-    tools/profile_vocoder.py --dilated-backend im2col (round 5)."""
+    costs k x activation traffic). MEASURED NEGATIVE in situ (round 5,
+    tools/profile_vocoder.py --dilated-backend im2col): L2 6.6 -> 17.9 ms
+    (33 TF/s), L3 5.1 -> 22.9 ms (18 TF/s), generator total 22.4 -> 51.0
+    ms (757x RT) — the fourth negative on this path, and the bound's
+    prediction confirmed. Kept as an exactness-tested alternate."""
     B, G, FC = x_folded.shape
     k, cin, cout = kernel.shape
     T = G * f
