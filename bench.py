@@ -615,7 +615,12 @@ def bench_sustained_train(train_rec=None, updates=60, settle=10,
            "total_wall_s": round(time.perf_counter() - t0, 1),
            "data_wait_ms": r_last.get("data_wait_ms"),
            "h2d_ms": r_last.get("h2d_ms"),
-           "input_wait_frac": done.get("input_wait_frac")}
+           # whole-run fraction (diluted by the one-time compile) and the
+           # steady-state fraction over the timed window
+           "input_wait_frac": done.get("input_wait_frac"),
+           "input_wait_frac_steady": round(
+               ((r_last.get("data_wait_ms") or 0)
+                + (r_last.get("h2d_ms") or 0)) / dt_ms, 4)}
     if train_rec:
         rec["isolated_step_ms"] = train_rec["value"]
         rec["gap_vs_isolated_pct"] = round(

@@ -658,7 +658,11 @@ def main(argv=None):
         values are already resolved by the time they are read (the reference
         pays this per-step via fast-stat-sync; here it costs one sync per
         log_interval)."""
-        for m in pending:
+        # ONE batched device->host transfer for the whole window — per-
+        # scalar float() would pay the tunnel's per-transfer floor
+        # (~1.5 ms, and far worse under load) n_metrics x log_interval
+        # times per flush
+        for m in jax.device_get(pending):
             for k, v in m.items():
                 agg.log_scalar(k, float(v))
             agg.log_speed("ups")
@@ -687,10 +691,25 @@ def main(argv=None):
         epoch = max(0, resume_epoch - 1)
         first_skip = resume_batch
         accum = {}   # per-bucket microbatch buffers for --update-freq
+        # update_freq>1 stacks host batches before transfer, so the H2D
+        # must stay on the consumer side; otherwise it runs on the
+        # producer thread, overlapped with the device step
+        producer_h2d = args.update_freq == 1
+
+        def timed_to_device(batch):
+            t = time.perf_counter()
+            jb = to_device(batch)
+            dt = time.perf_counter() - t
+            io_acc["h2d_s"] += dt
+            io_acc["run_h2d_s"] += dt
+            return jb
+
         while update < args.max_update:
             epoch += 1
             batch_idx = -1
-            pf = iter(prefetch_epoch(it, epoch))
+            pf = iter(prefetch_epoch(
+                it, epoch,
+                to_device=timed_to_device if producer_h2d else None))
             while True:
                 t_wait = time.perf_counter()
                 nxt = next(pf, None)
@@ -711,10 +730,7 @@ def main(argv=None):
                     batch = {k: np.stack([b[k] for b in buf])
                              for k in buf[0]}
                     accum[spec] = []
-                t_h2d = time.perf_counter()
-                jb = to_device(batch)
-                io_acc["h2d_s"] += time.perf_counter() - t_h2d
-                io_acc["run_h2d_s"] += time.perf_counter() - t_h2d
+                jb = batch if producer_h2d else timed_to_device(batch)
                 io_acc["steps"] += 1
                 io_acc["run_steps"] += 1
                 if args.profile_dir and update == 5:

@@ -40,6 +40,44 @@ def is_npy_data(data: bytes) -> bool:
     return data[:1] == b"\x93" and data[1:6] == b"NUMPY"
 
 
+_NPY_HDR_RE = re.compile(
+    rb"'descr':\s*'([^']+)'.*?'fortran_order':\s*(\w+).*?"
+    rb"'shape':\s*\(([^)]*)\)", re.S)
+
+
+def fast_npy_parse(data: bytes) -> np.ndarray:
+    """Zero-copy .npy parse from bytes. ``np.load(BytesIO(...))`` spends
+    most of its time in ``ast.literal_eval`` of the header dict (~25 us x
+    every item of every batch on the hot input path); a regex parse of the
+    three fixed keys + ``np.frombuffer`` is ~10x faster and returns a
+    read-only view over the zip-read buffer (no extra copy). Falls back to
+    np.load for anything it doesn't recognize (pickled arrays, v3 headers
+    with exotic dtypes)."""
+    try:
+        major = data[6]
+        if major == 1:
+            hlen = int.from_bytes(data[8:10], "little")
+            off = 10 + hlen
+            hdr = data[10:off]
+        else:                       # version 2/3: 4-byte header length
+            hlen = int.from_bytes(data[8:12], "little")
+            off = 12 + hlen
+            hdr = data[12:off]
+        m = _NPY_HDR_RE.search(hdr)
+        if m is None:
+            raise ValueError("header regex miss")
+        descr, fortran, shape_s = m.groups()
+        if fortran not in (b"False", b"True"):
+            raise ValueError("bad fortran_order")
+        shape = tuple(int(x) for x in shape_s.split(b",") if x.strip())
+        arr = np.frombuffer(data, dtype=np.dtype(descr.decode()),
+                            offset=off).reshape(
+            shape, order="F" if fortran == b"True" else "C")
+        return arr
+    except Exception:
+        return np.load(io.BytesIO(data))
+
+
 def get_features_or_waveform(path: str) -> np.ndarray:
     """Load a feature matrix or waveform from 'file[:offset:len]'
     (``get_features_or_waveform``, ``audio_utils.py:169-211``)."""
@@ -50,7 +88,7 @@ def get_features_or_waveform(path: str) -> np.ndarray:
     if length != -1:
         data = read_from_stored_zip(file, offset, length)
         if is_npy_data(data):
-            return np.load(io.BytesIO(data))
+            return fast_npy_parse(data)
         raise ValueError(f"unsupported packed data at {path!r}")
     if p.suffix == ".npy":
         return np.load(file)

@@ -258,10 +258,6 @@ class BucketBatcher:
                 pad_last: bool = True) -> Dict[str, np.ndarray]:
         """Pad items to the bucket's static dims; short batches are filled
         by repeating the first item with zero weight via ``sample_mask``."""
-        from daspeech_tpu.models.dag_model import (
-            graph_lengths as _gl, initialize_output_tokens as _init)
-        import jax.numpy as jnp
-
         from daspeech_tpu.data import native
 
         items = [self.dataset[i] for i in idxs]
@@ -278,7 +274,17 @@ class BucketBatcher:
 
         glen = np.clip((src_lengths * self.upsample_scale).astype(np.int32),
                        2, min(spec.graph, self.max_graph))
-        prev = np.asarray(_init(jnp.asarray(glen), spec.graph, self.vocab))
+        # pure-numpy initialize_output_tokens (same math as
+        # models/dag_model.py::initialize_output_tokens): the collate runs
+        # on the prefetch producer THREAD — a jax call here dispatches a
+        # device program + device->host fetch per batch (and a full jit
+        # compile on the first one), serializing the host pipeline against
+        # the training step's dispatch queue
+        idx = np.arange(spec.graph)[None, :]
+        prev = np.where(idx < glen[:, None], self.vocab.unk,
+                        self.vocab.pad).astype(np.int32)
+        prev[:, 0] = self.vocab.bos
+        prev[idx == (glen[:, None] - 1)] = self.vocab.eos
 
         batch = {
             "fbank": fbank,

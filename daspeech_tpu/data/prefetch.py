@@ -46,12 +46,21 @@ class Prefetcher:
             yield item
 
 
-def prefetch_epoch(batcher, epoch: int, depth: int = 4):
+def prefetch_epoch(batcher, epoch: int, depth: int = 4, to_device=None):
     """Prefetched (spec, collated-batch) stream for one epoch of a
-    ``BucketBatcher``-style iterator."""
+    ``BucketBatcher``-style iterator.
+
+    ``to_device``: optional host->device transfer applied on the PRODUCER
+    thread, overlapping the H2D copy (tens of ms per 40k-token fbank batch
+    over the tunnel) with the consumer's device step instead of paying it
+    serially in the train loop. jax device_put is thread-safe; transfers
+    and compute interleave on the device without blocking each other."""
 
     def produce():
         for spec, idxs in batcher.batches_for_epoch(epoch):
-            yield spec, batcher.collate(spec, idxs)
+            batch = batcher.collate(spec, idxs)
+            if to_device is not None:
+                batch = to_device(batch)
+            yield spec, batch
 
     return Prefetcher(produce, depth=depth)

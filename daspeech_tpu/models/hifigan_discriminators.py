@@ -89,17 +89,37 @@ class DiscriminatorS(nn.Module):
         return x.reshape(B, -1), fmap
 
 
+def _split_pair(out, fmap, B):
+    """Split a [2B, ...] pair-batched output back into (real, gen)."""
+    return (out[:B], out[B:],
+            [f[:B] for f in fmap], [f[B:] for f in fmap])
+
+
 class MultiPeriodDiscriminator(nn.Module):
+    """``pair_batch``: run each sub-discriminator ONCE on
+    ``concat([y, y_hat])`` instead of twice on B — convs are
+    batch-parallel so the sums are the same math (losses/grads agree up
+    to float reassociation of the batch reductions), and the conv grid
+    doubles its batch tile occupancy (the per-call fixed cost and any
+    sub-full MXU tiles amortize over 2B). Exactness:
+    ``tests/test_vocoder_train.py``."""
+
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     dtype: jnp.dtype = jnp.float32
+    pair_batch: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         rs, gs, fr, fg = [], [], [], []
+        B = y.shape[0]
         for p in self.periods:
             d = DiscriminatorP(p, dtype=self.dtype, name=f"disc_p{p}")
-            r, fmr = d(y)
-            g, fmg = d(y_hat)
+            if self.pair_batch:
+                out, fmap = d(jnp.concatenate([y, y_hat], axis=0))
+                r, g, fmr, fmg = _split_pair(out, fmap, B)
+            else:
+                r, fmr = d(y)
+                g, fmg = d(y_hat)
             rs.append(r)
             gs.append(g)
             fr.append(fmr)
@@ -118,17 +138,23 @@ def avg_pool_1d(x: jnp.ndarray, window: int = 4, stride: int = 2,
 
 class MultiScaleDiscriminator(nn.Module):
     dtype: jnp.dtype = jnp.float32
+    pair_batch: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         rs, gs, fr, fg = [], [], [], []
+        B = y.shape[0]
         for i in range(3):
             if i:
                 y = avg_pool_1d(y)
                 y_hat = avg_pool_1d(y_hat)
             d = DiscriminatorS(dtype=self.dtype, name=f"disc_s{i}")
-            r, fmr = d(y)
-            g, fmg = d(y_hat)
+            if self.pair_batch:
+                out, fmap = d(jnp.concatenate([y, y_hat], axis=0))
+                r, g, fmr, fmg = _split_pair(out, fmap, B)
+            else:
+                r, fmr = d(y)
+                g, fmg = d(y_hat)
             rs.append(r)
             gs.append(g)
             fr.append(fmr)
@@ -144,15 +170,19 @@ def feature_loss(fmap_r: List, fmap_g: List) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss = loss + jnp.mean(jnp.abs(jax.lax.stop_gradient(rl) - gl))
+            loss = loss + jnp.mean(
+                jnp.abs(jax.lax.stop_gradient(rl) - gl),
+                dtype=jnp.float32)
     return loss * 2.0
 
 
 def discriminator_loss(real_outs: List, gen_outs: List):
-    """LSGAN D loss (``models.py:265-277``)."""
+    """LSGAN D loss (``models.py:265-277``). Means accumulate in f32 so
+    the bf16 discriminator option keeps f32 loss/grad scales."""
     loss = 0.0
     for dr, dg in zip(real_outs, gen_outs):
-        loss = loss + jnp.mean((1.0 - dr) ** 2) + jnp.mean(dg ** 2)
+        loss = loss + jnp.mean((1.0 - dr) ** 2, dtype=jnp.float32) \
+            + jnp.mean(dg ** 2, dtype=jnp.float32)
     return loss
 
 
@@ -160,5 +190,5 @@ def generator_loss(gen_outs: List):
     """LSGAN G loss (``models.py:280-288``)."""
     loss = 0.0
     for dg in gen_outs:
-        loss = loss + jnp.mean((1.0 - dg) ** 2)
+        loss = loss + jnp.mean((1.0 - dg) ** 2, dtype=jnp.float32)
     return loss

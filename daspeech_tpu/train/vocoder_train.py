@@ -61,11 +61,19 @@ def make_vocoder_optimizer(lr: float = 2e-4, b1: float = 0.8,
 class VocoderTrainer:
     def __init__(self, cfg: HiFiGANConfig, mel_fn=None,
                  segment_size: int = 8192, mel_loss_weight: float = 45.0,
-                 gen_fold: int = 0):
+                 gen_fold: int = 0, disc_dtype=jnp.float32,
+                 pair_batch: bool = False):
         self.cfg = cfg
         self.gen = HiFiGANGenerator(cfg, fold_to=gen_fold)
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+        # disc_dtype=bf16 runs D compute in bfloat16 (params stay f32 and
+        # loss means accumulate in f32); pair_batch runs each
+        # sub-discriminator once on concat([y, y_hat]) — bit-identical
+        # sums, half the conv calls. Both measured in
+        # tools/profile_vocoder_train.py.
+        self.mpd = MultiPeriodDiscriminator(dtype=disc_dtype,
+                                            pair_batch=pair_batch)
+        self.msd = MultiScaleDiscriminator(dtype=disc_dtype,
+                                           pair_batch=pair_batch)
         self.segment_frames = segment_size // cfg.hop_size
         self.mel_loss_weight = mel_loss_weight
         # mel_fn: waveform [B, T] -> mel [B, frames, num_mels] (jax)
