@@ -62,18 +62,29 @@ class VocoderTrainer:
     def __init__(self, cfg: HiFiGANConfig, mel_fn=None,
                  segment_size: int = 8192, mel_loss_weight: float = 45.0,
                  gen_fold: int = 0, disc_dtype=jnp.float32,
-                 pair_batch: bool = False):
+                 pair_batch: bool = False, pair_batch_d: bool = True):
         self.cfg = cfg
         self.gen = HiFiGANGenerator(cfg, fold_to=gen_fold)
         # disc_dtype=bf16 runs D compute in bfloat16 (params stay f32 and
-        # loss means accumulate in f32); pair_batch runs each
-        # sub-discriminator once on concat([y, y_hat]) — bit-identical
-        # sums, half the conv calls. Both measured in
-        # tools/profile_vocoder_train.py.
+        # loss means accumulate in f32). pair_batch runs each
+        # sub-discriminator once on concat([y, y_hat]) — the same sums
+        # (float reassociation only), half the conv calls. Measured in
+        # situ (tools/profile_vocoder_train.py, v5e, B=16 x 8192): a win
+        # ONLY for the D update (64.5 -> 54.9 ms, both halves need weight
+        # grads so the 2B backward is exactly the needed work) and a LOSS
+        # for the G update (52.3 -> 61.9 ms: the wav half needs no
+        # backward, but pair-batching forces the conv bwd over the full
+        # 2B) — so `pair_batch_d` (default ON) pairs the D update only,
+        # while `pair_batch` A/Bs both. Same params tree either way.
         self.mpd = MultiPeriodDiscriminator(dtype=disc_dtype,
                                             pair_batch=pair_batch)
         self.msd = MultiScaleDiscriminator(dtype=disc_dtype,
                                            pair_batch=pair_batch)
+        pd = pair_batch or pair_batch_d
+        self.mpd_d = MultiPeriodDiscriminator(dtype=disc_dtype,
+                                              pair_batch=pd)
+        self.msd_d = MultiScaleDiscriminator(dtype=disc_dtype,
+                                             pair_batch=pd)
         self.segment_frames = segment_size // cfg.hop_size
         self.mel_loss_weight = mel_loss_weight
         # mel_fn: waveform [B, T] -> mel [B, frames, num_mels] (jax)
@@ -108,7 +119,7 @@ class VocoderTrainer:
                  wav: jnp.ndarray) -> Tuple[VocoderTrainState, jnp.ndarray]:
         """Discriminator update against the (detached) current generator
         output (``train.py:118-133``)."""
-        gen, mpd, msd = self.gen, self.mpd, self.msd
+        gen, mpd, msd = self.gen, self.mpd_d, self.msd_d
         y_hat = jax.lax.stop_gradient(gen.apply(state.gen_params, mel))
 
         def d_loss_fn(dparams):

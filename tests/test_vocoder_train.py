@@ -120,6 +120,26 @@ class TestVocoderTrainer:
             np.testing.assert_allclose(a, b, rtol=1e-4,
                                        atol=1e-5 * scale)
 
+    def test_pair_batch_d_wiring(self):
+        """``pair_batch_d`` (default ON) must route d_update through the
+        pair-batched discriminator clones while init/g_update keep the
+        unpaired modules — and the D loss must agree with the fully
+        unpaired trainer from the same (bit-identical) init."""
+        tr0, s0, mel, wav = self._setup(pair_batch_d=False)
+        trd, sd, _, _ = self._setup()  # default pair_batch_d=True
+        assert tr0.mpd_d.pair_batch is False
+        assert trd.mpd_d.pair_batch and trd.msd_d.pair_batch
+        assert not (trd.mpd.pair_batch or trd.msd.pair_batch)
+        # same modules + same keys -> bit-identical inits
+        for a, b in zip(jax.tree.leaves(s0.disc_params),
+                        jax.tree.leaves(sd.disc_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        _, l0 = jax.jit(tr0.d_update)(s0, mel, wav)
+        ad, ld = jax.jit(trd.d_update)(sd, mel, wav)
+        np.testing.assert_allclose(float(l0), float(ld), rtol=1e-5)
+        for leaf in jax.tree.leaves(ad.disc_params):
+            assert np.isfinite(np.asarray(leaf)).all()
+
     def test_bf16_discriminator_trains(self):
         """disc_dtype=bf16: params stay f32, losses are finite f32, both
         networks move, and one update stays close to the f32-D update

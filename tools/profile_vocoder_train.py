@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--gen-fold", type=int, default=128)
     ap.add_argument("--disc-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--pair-batch", action="store_true")
+    ap.add_argument("--no-pair-batch-d", dest="pair_batch_d",
+                    action="store_false", default=True,
+                    help="disable pair-batching of the D update (it is "
+                         "ON by default: measured win for d_update only)")
     ap.add_argument("--n", type=int, default=10)
     args = ap.parse_args()
 
@@ -99,7 +103,8 @@ def main():
     dd = jnp.bfloat16 if args.disc_dtype == "bf16" else jnp.float32
     trainer = VocoderTrainer(cfg, mel_fn=mel_fn, segment_size=args.seg,
                              gen_fold=args.gen_fold, disc_dtype=dd,
-                             pair_batch=args.pair_batch)
+                             pair_batch=args.pair_batch,
+                             pair_batch_d=args.pair_batch_d)
     state = trainer.init_state(jax.random.key(0))
     B, seg = args.B, args.seg
     rng = np.random.default_rng(0)
@@ -108,7 +113,8 @@ def main():
     wav = jnp.asarray((0.1 * rng.normal(size=(B, seg))).astype(np.float32))
 
     print(f"B={B} seg={seg} gen_fold={args.gen_fold} "
-          f"disc_dtype={args.disc_dtype} pair_batch={args.pair_batch}")
+          f"disc_dtype={args.disc_dtype} pair_batch={args.pair_batch} "
+          f"pair_batch_d={args.pair_batch_d}")
 
     gen, mpd, msd = trainer.gen, trainer.mpd, trainer.msd
     gp = state.gen_params
