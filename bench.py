@@ -124,6 +124,32 @@ def measure_dispatch_floor():
             "dispatch_floor_best_ms": round(ts[0] * 1e3, 3)}
 
 
+def measure_h2d(mb=12, reps=5):
+    """The tunnel's host->device characteristics: bandwidth of a big
+    (recipe-batch-sized) put and the small-put round-trip floor. The
+    sustained whole-loop train bench pays one recipe batch (~12.6 MB of
+    fbank) of this per update — on a transfer-bound tunnel that, not the
+    step, sets the sustained floor, so the row must carry it."""
+    big = np.random.default_rng(0).normal(
+        size=(mb * (1 << 20) // 4,)).astype(np.float32)
+    small = np.zeros((8,), np.float32)
+
+    def put(x):
+        t0 = time.perf_counter()
+        d = jnp.asarray(x)
+        np.asarray(jax.device_get(d.ravel()[:1]))   # force completion
+        return time.perf_counter() - t0
+
+    put(big), put(small)                             # warm the path
+    t_big = min(put(big) for _ in range(reps))
+    t_small = min(put(small) for _ in range(reps))
+    bw = big.nbytes / max(t_big - t_small, 1e-9)
+    return {"h2d_bw_MBps": round(bw / (1 << 20), 1),
+            "h2d_rtt_ms": round(t_small * 1e3, 3),
+            "h2d_big_put_ms": round(t_big * 1e3, 2),
+            "h2d_big_put_mb": round(big.nbytes / (1 << 20), 1)}
+
+
 def main():
     sys.path.insert(0, ".")
     from daspeech_tpu.core.config import (
@@ -352,10 +378,27 @@ def main():
     # logging, checkpointing) on a recipe-scale synthetic fixture — the
     # reference's de-facto metric (trainer.py:797 hot loop incl. DataLoader
     # workers). Proves the 1-CPU host can feed the TPU.
+    h2d_info = None
     try:
-        results.append(bench_sustained_train(train_rec))
+        h2d_info = measure_h2d()
+        log(f"h2d: {h2d_info['h2d_bw_MBps']} MB/s, "
+            f"rtt {h2d_info['h2d_rtt_ms']} ms")
+    except Exception as e:
+        log(f"h2d measure failed: {type(e).__name__}: {e}")
+    try:
+        results.append(bench_sustained_train(train_rec, h2d_info=h2d_info))
     except Exception as e:
         log(f"sustained-train bench failed: {type(e).__name__}: {e}")
+    # the bf16-H2D rung: halve the wire bytes of the dominant transfer
+    # (--h2d-dtype bfloat16), same compiled step (device-side cast back)
+    try:
+        results.append(bench_sustained_train(
+            train_rec, updates=40, h2d_info=h2d_info,
+            extra_argv=("--h2d-dtype", "bfloat16"),
+            metric_name="sustained_train_bf16h2d_ms_per_update"))
+    except Exception as e:
+        log(f"sustained-train bf16-h2d bench failed: "
+            f"{type(e).__name__}: {e}")
 
     # --- stage-3 joint S2ST finetune step (max-tokens 20000 recipe)
     try:
@@ -549,7 +592,8 @@ class _TimedLines:
 def bench_sustained_train(train_rec=None, updates=60, settle=10,
                           fixture_root="/tmp/daspeech_bench_train_data",
                           fixture_kwargs=None, max_tokens=40000,
-                          extra_argv=()):
+                          extra_argv=(), h2d_info=None,
+                          metric_name="sustained_train_ms_per_update"):
     """Sustained ms/update through the REAL ``cli.train`` loop — host input
     pipeline included — at the S2TT recipe budget (max-tokens 40000, the
     same workload as ``dag_train_step_ms``). Runs ``updates`` updates on a
@@ -607,7 +651,7 @@ def bench_sustained_train(train_rec=None, updates=60, settle=10,
     if n <= 0:
         raise RuntimeError("not enough updates to time")
     dt_ms = (t_last - t_settle) / n * 1e3
-    rec = {"metric": "sustained_train_ms_per_update",
+    rec = {"metric": metric_name,
            "value": round(dt_ms, 2),
            "unit": "ms_per_update_maxtokens40k_wholeloop",
            "vs_baseline": None,
@@ -625,6 +669,23 @@ def bench_sustained_train(train_rec=None, updates=60, settle=10,
         rec["isolated_step_ms"] = train_rec["value"]
         rec["gap_vs_isolated_pct"] = round(
             (dt_ms / train_rec["value"] - 1) * 100, 1)
+    # tunnel-floor attribution: on this host's remote-TPU tunnel the
+    # per-update H2D transfer serializes with device execution on the one
+    # relay stream, so the sustained floor is step + batch_bytes/bandwidth
+    # + a round-trip — publish it so gap_vs_isolated is attributable to
+    # the tunnel vs the framework at a glance.
+    batch_mb = done.get("h2d_mb_per_step")
+    if batch_mb is not None:
+        rec["h2d_mb_per_step"] = batch_mb
+    if h2d_info:
+        rec.update(h2d_info)
+        if batch_mb and train_rec and h2d_info.get("h2d_bw_MBps"):
+            floor = (train_rec["value"]
+                     + batch_mb / h2d_info["h2d_bw_MBps"] * 1e3
+                     + h2d_info["h2d_rtt_ms"])
+            rec["tunnel_floor_ms_per_update"] = round(floor, 1)
+            rec["gap_vs_tunnel_floor_pct"] = round(
+                (dt_ms / floor - 1) * 100, 1)
     return rec
 
 

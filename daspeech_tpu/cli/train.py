@@ -167,6 +167,14 @@ def parse_args(argv=None):
                         "always runs fp32 — replaces the reference's fp16 "
                         "optimizer + DynamicLossScaler, which bf16 does not "
                         "need)")
+    p.add_argument("--h2d-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="transfer dtype for the big float features (fbank/"
+                        "target_audio): bfloat16 halves the host->device "
+                        "bytes per batch (the whole-loop bottleneck on "
+                        "transfer-bound hosts) and is cast back to fp32 on "
+                        "device; training numerics see fp32 values rounded "
+                        "through bf16 (~3 significant digits on log-mel)")
     p.add_argument("--compilation-cache-dir", default=None,
                    help="persist XLA executables here so reruns and new "
                         "bucket shapes skip the cold compile (default "
@@ -436,6 +444,31 @@ def main(argv=None):
     else:
         step_fn = jit_data_parallel(raw_step, mesh, batch_dim=batch_dim)
 
+    # --h2d-dtype bfloat16: the fbank (and s2s target mel) dominate the
+    # batch bytes (~97%); casting them to bf16 ON THE HOST halves the
+    # wire bytes of every transfer, then a device-side cast restores the
+    # fp32 compute path. ml_dtypes gives numpy the bf16 dtype jax accepts
+    # natively.
+    _h2d_cast_keys = ("fbank", "target_audio")
+    _h2d_bf16 = args.h2d_dtype == "bfloat16"
+    if _h2d_bf16:
+        import ml_dtypes
+        _np_bf16 = ml_dtypes.bfloat16
+
+    def _put(k, v):
+        if (_h2d_bf16 and k in _h2d_cast_keys
+                and getattr(v, "dtype", None) == np.float32):
+            return jnp.asarray(np.asarray(v).astype(_np_bf16)).astype(
+                jnp.float32)
+        return jnp.asarray(v)
+
+    def _wire_bytes(k, v):
+        n = getattr(v, "nbytes", 0)
+        if (_h2d_bf16 and k in _h2d_cast_keys
+                and getattr(v, "dtype", None) == np.float32):
+            n //= 2
+        return n
+
     def to_device(batch):
         """Single-host: plain device arrays (sharded inside the jit).
         Multi-host: every process iterates the same seeded batches; each
@@ -443,7 +476,7 @@ def main(argv=None):
         ``data/iterators.py``) and the global sharded array is assembled
         from the local blocks (jax.make_array_from_process_local_data)."""
         if not multi_host:
-            return {k: jnp.asarray(v) for k, v in batch.items()}
+            return {k: _put(k, v) for k, v in batch.items()}
         any_leaf = next(iter(batch.values()))
         sl = process_batch_slice(any_leaf.shape[batch_dim])
         idx = (slice(None),) * batch_dim + (sl,)
@@ -650,7 +683,29 @@ def main(argv=None):
     # and over the whole run. If `data_wait_ms` per update approaches the
     # step time, the TPU is input-starved and every MFU win is masked.
     io_acc = {"wait_s": 0.0, "h2d_s": 0.0, "steps": 0,
-              "run_wait_s": 0.0, "run_h2d_s": 0.0, "run_steps": 0}
+              "run_wait_s": 0.0, "run_h2d_s": 0.0, "run_steps": 0,
+              "h2d_bytes": 0}
+
+    # per-(window, keys) jitted stackers: pack the whole metrics window
+    # into ONE [n, K] device array so the flush costs a single
+    # device->host transfer. jax.device_get on the raw list is one
+    # transfer PER SCALAR (n x K of them); at a ~1.5-30 ms per-transfer
+    # tunnel floor that dominated the sustained whole-loop time.
+    _stackers = {}
+
+    def _fetch_pending():
+        keys = sorted(pending[0])
+        sig = (len(pending), tuple(keys))
+        fn = _stackers.get(sig)
+        if fn is None:
+            def stack(ms):
+                return jnp.stack([
+                    jnp.stack([jnp.asarray(m[k], jnp.float32)
+                               for k in keys]) for m in ms])
+            fn = jax.jit(stack)
+            _stackers[sig] = fn
+        vals = np.asarray(fn(pending))          # [n, K]: one transfer
+        return [dict(zip(keys, row)) for row in vals.tolist()]
 
     def flush_metrics():
         """Fetch the pending device metrics in one host sync. Deferring the
@@ -658,11 +713,7 @@ def main(argv=None):
         values are already resolved by the time they are read (the reference
         pays this per-step via fast-stat-sync; here it costs one sync per
         log_interval)."""
-        # ONE batched device->host transfer for the whole window — per-
-        # scalar float() would pay the tunnel's per-transfer floor
-        # (~1.5 ms, and far worse under load) n_metrics x log_interval
-        # times per flush
-        for m in jax.device_get(pending):
+        for m in (_fetch_pending() if pending else ()):
             for k, v in m.items():
                 agg.log_scalar(k, float(v))
             agg.log_speed("ups")
@@ -702,6 +753,8 @@ def main(argv=None):
             dt = time.perf_counter() - t
             io_acc["h2d_s"] += dt
             io_acc["run_h2d_s"] += dt
+            io_acc["h2d_bytes"] += sum(
+                _wire_bytes(k, v) for k, v in batch.items())
             return jb
 
         while update < args.max_update:
@@ -796,6 +849,9 @@ def main(argv=None):
                 "run_h2d_s": round(io_acc["run_h2d_s"], 2),
                 "input_wait_frac": round(
                     (io_acc["run_wait_s"] + io_acc["run_h2d_s"]) / wall, 4),
+                "h2d_mb_per_step": round(
+                    io_acc["h2d_bytes"] / io_acc["run_steps"] / (1 << 20),
+                    2),
             }
         logger.print({"done": True, "wall_s": round(wall, 1),
                       **io_totals, **flush_metrics()}, update, epoch)

@@ -42,12 +42,31 @@ def test_sustained_bench_logic(tmp_path):
     tsv = Path(tmp_path / "data" / "train.tsv")
     mtime = tsv.stat().st_mtime
     rec2 = bench.bench_sustained_train(
+        train_rec={"value": 10.0},
         updates=4, settle=2,
         fixture_root=str(tmp_path / "data"),
         max_tokens=512,
+        h2d_info={"h2d_bw_MBps": 100.0, "h2d_rtt_ms": 1.0},
+        metric_name="sustained_train_bf16h2d_ms_per_update",
         extra_argv=["--model-yaml", str(tmp_path / "tiny.yaml"),
                     "--max-source-positions", "100",
                     "--max-target-positions", "32",
-                    "--num-buckets", "1"])
+                    "--num-buckets", "1",
+                    "--h2d-dtype", "bfloat16"])
     assert tsv.stat().st_mtime == mtime
     assert rec2["value"] > 0
+    assert rec2["metric"] == "sustained_train_bf16h2d_ms_per_update"
+    # wire-byte accounting: the bf16 run halves the fbank bytes, and the
+    # tunnel-floor attribution fields ride the provided h2d_info
+    assert rec2["h2d_mb_per_step"] > 0
+    assert rec["h2d_mb_per_step"] > rec2["h2d_mb_per_step"] > 0
+    assert rec2["tunnel_floor_ms_per_update"] > 10.0
+    assert "gap_vs_tunnel_floor_pct" in rec2
+
+
+def test_measure_h2d_fields():
+    import bench
+    info = bench.measure_h2d(mb=2, reps=2)
+    assert info["h2d_bw_MBps"] > 0
+    assert info["h2d_rtt_ms"] >= 0
+    assert info["h2d_big_put_mb"] == 2.0
