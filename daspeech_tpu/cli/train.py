@@ -167,6 +167,13 @@ def parse_args(argv=None):
                         "always runs fp32 — replaces the reference's fp16 "
                         "optimizer + DynamicLossScaler, which bf16 does not "
                         "need)")
+    p.add_argument("--no-packed-h2d", action="store_true",
+                   help="disable single-buffer batch transfer (default ON "
+                        "for the single-host data-parallel path: the whole "
+                        "batch ships as ONE uint8[B, bytes] device_put and "
+                        "is unpacked bit-exactly inside the step jit — one "
+                        "link round-trip per update instead of one per "
+                        "leaf)")
     p.add_argument("--h2d-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="transfer dtype for the big float features (fbank/"
@@ -469,6 +476,55 @@ def main(argv=None):
             n //= 2
         return n
 
+    # single-buffer H2D (default on for the single-host dp path): pack the
+    # whole batch into ONE uint8[B, bytes] put — each extra device_put
+    # pays the link's round-trip floor (measured 25.4 ms on this host's
+    # relay; 5 leaves ≈ 127 ms/update of pure RTT) — and unpack
+    # bit-exactly inside the step jit (data/packing.py). The packed
+    # buffer keeps the batch axis, so dim-0 data-parallel sharding is
+    # unchanged.
+    _packing_on = (not args.no_packed_h2d and not multi_host
+                   and args.update_freq == 1 and not args.fsdp)
+    _bf16_wire_keys = _h2d_cast_keys if _h2d_bf16 else ()
+
+    class PackedBatch:
+        __slots__ = ("layout", "buf")
+
+        def __init__(self, layout, buf):
+            self.layout, self.buf = layout, buf
+
+    def _pack_put(batch):
+        """-> PackedBatch (one put) or None if not packable."""
+        from daspeech_tpu.data.packing import pack_host
+
+        packed = pack_host(batch, bf16_keys=_bf16_wire_keys)
+        if packed is None:
+            return None
+        layout, buf = packed
+        return PackedBatch(layout, jnp.asarray(buf))
+
+    _packed_steps = {}
+
+    def run_step(state, jb, rng):
+        """Dispatch to the packed-unpacking step jit (per layout) or the
+        plain dict step. The unpack happens INSIDE the jit, so the
+        packed path compiles to the identical training computation fed
+        by slices of the one transferred buffer."""
+        if isinstance(jb, PackedBatch):
+            fn = _packed_steps.get(jb.layout)
+            if fn is None:
+                from daspeech_tpu.data.packing import unpack_device
+
+                def unpacking_step(state, b, rng, _layout=jb.layout):
+                    return raw_step(
+                        state, unpack_device(_layout, b["buf"]), rng)
+
+                fn = jit_data_parallel(unpacking_step, mesh,
+                                       batch_dim=batch_dim)
+                _packed_steps[jb.layout] = fn
+            return fn(state, {"buf": jb.buf}, rng)
+        return step_fn(state, jb, rng)
+
     def to_device(batch):
         """Single-host: plain device arrays (sharded inside the jit).
         Multi-host: every process iterates the same seeded batches; each
@@ -749,12 +805,16 @@ def main(argv=None):
 
         def timed_to_device(batch):
             t = time.perf_counter()
-            jb = to_device(batch)
+            jb = (_pack_put(batch) if _packing_on else None)
+            if jb is None:
+                jb = to_device(batch)
+                wire = sum(_wire_bytes(k, v) for k, v in batch.items())
+            else:
+                wire = jb.buf.nbytes
             dt = time.perf_counter() - t
             io_acc["h2d_s"] += dt
             io_acc["run_h2d_s"] += dt
-            io_acc["h2d_bytes"] += sum(
-                _wire_bytes(k, v) for k, v in batch.items())
+            io_acc["h2d_bytes"] += wire
             return jb
 
         while update < args.max_update:
@@ -790,7 +850,7 @@ def main(argv=None):
                     jax.profiler.start_trace(args.profile_dir)
                 if args.profile_dir and update == 15:
                     jax.profiler.stop_trace()
-                state, metrics = step_fn(state, jb, rng)
+                state, metrics = run_step(state, jb, rng)
                 update += 1          # step_fn bumps state.step by exactly 1
                 pending.append(metrics)
                 # the enqueue above blocks once the device's launch queue
